@@ -1,0 +1,4 @@
+from shapy_tpu.io.torch_import import (  # noqa: F401
+    load_torch_file,
+    state_dict_to_numpy,
+)

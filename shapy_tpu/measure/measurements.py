@@ -1,0 +1,250 @@
+"""Virtual anthropometric measurements (mass, height, circumferences).
+
+Behavioural spec: reference ``mesh-mesh-intersection/body_measurements/
+body_measurements.py:17-246``:
+
+  * mass   = |signed mesh volume| x 985 kg/m^3,
+  * height = |y(head-top) - y(left-heel)| from fixed face+barycentric
+    anchors,
+  * chest / waist / hips = slice the mesh with a horizontal plane at an
+    anchored vertex height, then take the convex-hull perimeter of the
+    (x, z) intersection points.
+
+TPU-native design: the CUDA BVH + CPU scipy hull pipeline is replaced by the
+dense plane-slice (:mod:`shapy_tpu.ops.plane_slice`) + support-function hull
+(:mod:`shapy_tpu.ops.convex_hull`) — one fused, batched, differentiable XLA
+computation with no host round-trip. ``exact_hull=True`` keeps the scipy
+path for parity checks / offline eval.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from shapy_tpu.core.geometry import signed_volume
+from shapy_tpu.ops.convex_hull import (
+    hull_perimeter_exact_np,
+    hull_perimeter_support,
+)
+from shapy_tpu.ops.plane_slice import plane_slice_triangles
+
+Array = jax.Array
+
+# Average human body density, kg/m^3 (body_measurements.py:19-20).
+DENSITY = 985.0
+
+_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets",
+    "measurements",
+)
+DEFAULT_DEFINITIONS = os.path.join(_ASSET_DIR, "measurement_defitions.yaml")
+DEFAULT_VERTICES = {
+    "smplx": os.path.join(_ASSET_DIR, "smplx_measurements.yaml"),
+    "smpl": os.path.join(_ASSET_DIR, "smpl_measurement_vertices.yaml"),
+}
+
+
+@dataclass(frozen=True)
+class Anchor:
+    face_idx: int
+    bary: Tuple[float, float, float]
+
+
+@dataclass(frozen=True)
+class MeasurementAnchors:
+    """Static anchor set for one mesh topology."""
+
+    head_top: Anchor
+    left_heel: Anchor
+    chest: Anchor
+    waist: Anchor
+    hips: Anchor
+
+    @classmethod
+    def from_yaml(
+        cls,
+        meas_definition_path: str = DEFAULT_DEFINITIONS,
+        meas_vertices_path: Optional[str] = None,
+        model_type: str = "smplx",
+    ) -> "MeasurementAnchors":
+        """Load the reference's anchor YAMLs (body_measurements.py:34-76).
+
+        The chest / waist / hips planes anchor at the surface points named by
+        the CW_p / BW_p / IW_p actions (nipple / belly button / crotch).
+        """
+        if meas_vertices_path is None:
+            meas_vertices_path = DEFAULT_VERTICES[model_type]
+        with open(os.path.expanduser(os.path.expandvars(
+                meas_definition_path))) as f:
+            defs = yaml.safe_load(f)
+        with open(os.path.expanduser(os.path.expandvars(
+                meas_vertices_path))) as f:
+            verts = yaml.safe_load(f)
+
+        def anchor(name: str) -> Anchor:
+            d = verts[name]
+            return Anchor(int(d["face_idx"]), tuple(float(x) for x in d["bc"]))
+
+        return cls(
+            head_top=anchor("HeadTop"),
+            left_heel=anchor("HeelLeft"),
+            chest=anchor(defs["CW_p"][0]),
+            waist=anchor(defs["BW_p"][0]),
+            hips=anchor(defs["IW_p"][0]),
+        )
+
+    @classmethod
+    def synthetic(cls, faces: np.ndarray, vertices: np.ndarray
+                  ) -> "MeasurementAnchors":
+        """Pick plausible anchors on an arbitrary closed mesh (for tests)."""
+        centers = vertices[faces].mean(axis=1)
+        y = centers[:, 1]
+
+        def nearest(frac: float) -> Anchor:
+            target = y.min() + frac * (y.max() - y.min())
+            return Anchor(int(np.argmin(np.abs(y - target))),
+                          (1 / 3, 1 / 3, 1 / 3))
+
+        return cls(
+            head_top=nearest(0.999),
+            left_heel=nearest(0.001),
+            chest=nearest(0.72),
+            waist=nearest(0.58),
+            hips=nearest(0.47),
+        )
+
+
+def _anchor_point(triangles: Array, anchor: Anchor) -> Array:
+    tri = triangles[..., anchor.face_idx, :, :]
+    bc = jnp.asarray(anchor.bary, dtype=triangles.dtype)
+    return jnp.sum(tri * bc[..., :, None], axis=-2)
+
+
+class BodyMeasurements:
+    """Differentiable, batched virtual measurements.
+
+    ``forward(triangles)`` takes (B, F, 3, 3) triangles (``v_shaped[:,
+    faces]`` in the regressor, iterative_regressor.py:742-749) and returns
+    the reference's nested output schema.
+    """
+
+    def __init__(
+        self,
+        anchors: Optional[MeasurementAnchors] = None,
+        model_type: str = "smplx",
+        meas_definition_path: Optional[str] = None,
+        meas_vertices_path: Optional[str] = None,
+        num_hull_directions: int = 720,
+        density: float = DENSITY,
+    ):
+        if anchors is None:
+            anchors = MeasurementAnchors.from_yaml(
+                meas_definition_path or DEFAULT_DEFINITIONS,
+                meas_vertices_path,
+                model_type,
+            )
+        self.anchors = anchors
+        self.num_hull_directions = num_hull_directions
+        self.density = density
+
+    # -- individual measurements ------------------------------------------
+    def compute_mass(self, triangles: Array) -> Array:
+        """(B, F, 3, 3) -> (B,) mass in kg (body_measurements.py:201-215)."""
+        return signed_volume(triangles) * self.density
+
+    def compute_height(self, triangles: Array) -> Tuple[Array, Array]:
+        """(B, F, 3, 3) -> ((B,) height in m, (2, B, 3) anchor points)."""
+        head = _anchor_point(triangles, self.anchors.head_top)
+        heel = _anchor_point(triangles, self.anchors.left_heel)
+        height = jnp.abs(head[..., 1] - heel[..., 1])
+        return height, jnp.stack([head, heel], axis=0)
+
+    def compute_periphery(
+        self, triangles: Array, anchor: Anchor
+    ) -> Dict[str, Array]:
+        """Circumference of the horizontal slice at the anchor's height."""
+        plane_h = _anchor_point(triangles, anchor)[..., 1]
+        points3d, valid = plane_slice_triangles(triangles, plane_h, axis=1)
+        B = triangles.shape[0]
+        flat = points3d.reshape(B, -1, 3)
+        flat_mask = jnp.repeat(valid, 2, axis=-1)
+        pts2d = flat[..., jnp.array([0, 2])]  # (x, z) plane
+        value = hull_perimeter_support(
+            pts2d, flat_mask, self.num_hull_directions
+        )
+        return {
+            "tensor": value,
+            "plane_height": plane_h,
+            "points": points3d,
+            "valid_points": valid,
+        }
+
+    def compute_peripheries(
+        self,
+        triangles: Array,
+        compute_chest: bool = True,
+        compute_waist: bool = True,
+        compute_hips: bool = True,
+    ) -> Dict[str, Dict[str, Array]]:
+        out = {}
+        if compute_chest:
+            out["chest"] = self.compute_periphery(triangles, self.anchors.chest)
+        if compute_waist:
+            out["waist"] = self.compute_periphery(triangles, self.anchors.waist)
+        if compute_hips:
+            out["hips"] = self.compute_periphery(triangles, self.anchors.hips)
+        return out
+
+    # -- full forward ------------------------------------------------------
+    def __call__(self, triangles: Array, **kwargs) -> Dict:
+        return self.forward(triangles, **kwargs)
+
+    def forward(
+        self,
+        triangles: Array,
+        compute_mass: bool = True,
+        compute_height: bool = True,
+        compute_chest: bool = True,
+        compute_waist: bool = True,
+        compute_hips: bool = True,
+    ) -> Dict:
+        measurements: Dict[str, Dict] = {}
+        if compute_mass:
+            measurements["mass"] = {"tensor": self.compute_mass(triangles)}
+        if compute_height:
+            h, pts = self.compute_height(triangles)
+            measurements["height"] = {"tensor": h, "points": pts}
+        measurements.update(
+            self.compute_peripheries(
+                triangles,
+                compute_chest=compute_chest,
+                compute_waist=compute_waist,
+                compute_hips=compute_hips,
+            )
+        )
+        return {"measurements": measurements}
+
+    # -- host-side exact path ---------------------------------------------
+    def periphery_exact_np(
+        self, triangles: np.ndarray, anchor_name: str
+    ) -> np.ndarray:
+        """Exact (scipy hull) circumference, host-side, per batch item."""
+        anchor: Anchor = getattr(self.anchors, anchor_name)
+        tris = jnp.asarray(triangles)
+        plane_h = _anchor_point(tris, anchor)[..., 1]
+        pts, valid = plane_slice_triangles(tris, plane_h, axis=1)
+        pts = np.asarray(pts)
+        valid = np.asarray(valid)
+        out = []
+        for b in range(pts.shape[0]):
+            p2 = pts[b][valid[b]].reshape(-1, 3)[:, [0, 2]]
+            out.append(hull_perimeter_exact_np(p2))
+        return np.asarray(out)

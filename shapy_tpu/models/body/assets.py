@@ -1,0 +1,196 @@
+"""Body-model asset loading (host-side, numpy).
+
+Reads the standard SMPL / SMPL-H / SMPL-X release files (``.npz`` or
+latin1-pickled ``.pkl``; same on-disk schema the reference consumes at
+``regressor/human_shape/models/body_models/body_models.py:89-100,550-560``)
+and also provides a **synthetic asset generator** producing schema-identical
+files from a deformed icosphere + chain skeleton, so the whole framework is
+testable without the licensed MPI model downloads.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+MODEL_FILE_TEMPLATES = {
+    "smpl": "SMPL_{gender}.{ext}",
+    "smplh": "SMPLH_{gender}.{ext}",
+    "smplx": "SMPLX_{gender}.{ext}",
+}
+
+NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55}
+NUM_BODY_JOINTS = {"smpl": 23, "smplh": 21, "smplx": 21}
+SHAPE_SPACE_DIM = 300
+EXPRESSION_SPACE_DIM = 100
+
+
+def _to_dense_f64(x) -> np.ndarray:
+    if hasattr(x, "todense"):
+        x = np.asarray(x.todense())
+    return np.asarray(x)
+
+
+def load_model_data(
+    model_folder: str,
+    model_type: str = "smplx",
+    gender: str = "neutral",
+    ext: str = "npz",
+    model_path: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Load a body-model release file into a plain dict of numpy arrays."""
+    if model_path is None:
+        fname = MODEL_FILE_TEMPLATES[model_type].format(
+            gender=gender.upper(), ext=ext
+        )
+        model_path = os.path.join(os.path.expanduser(model_folder), fname)
+    if model_path.endswith(".npz"):
+        with np.load(model_path, allow_pickle=True) as data:
+            out = {k: data[k] for k in data.files}
+    else:
+        with open(model_path, "rb") as f:
+            out = pickle.load(f, encoding="latin1")
+    return {k: _to_dense_f64(v) if not isinstance(v, str) else v
+            for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Synthetic assets
+
+
+def icosphere(subdivisions: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Unit icosphere (vertices, faces) with consistent outward winding."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        edge_mid: Dict[tuple, int] = {}
+        vlist = list(verts)
+        new_faces = []
+
+        def midpoint(a: int, b: int) -> int:
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = vlist[a] + vlist[b]
+                m = m / np.linalg.norm(m)
+                edge_mid[key] = len(vlist)
+                vlist.append(m)
+            return edge_mid[key]
+
+        for tri in faces:
+            a, b, c = (int(x) for x in tri)
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(vlist)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    return verts, faces
+
+
+def make_synthetic_model_data(
+    model_type: str = "smplx",
+    subdivisions: int = 2,
+    seed: int = 0,
+    num_shape_dirs: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Build a schema-compatible synthetic body model.
+
+    The template is an ellipsoid (a closed, body-proportioned mesh so that
+    volume / height / plane-slice measurements are well-defined), the
+    skeleton is a star of chains hanging off a root, and all bases are
+    small-magnitude smooth random fields so LBS outputs stay non-degenerate.
+    """
+    rng = np.random.default_rng(seed)
+    J = NUM_JOINTS[model_type]
+    verts, faces = icosphere(subdivisions)
+    # Body-like proportions: ~0.35 m wide, ~1.7 m tall, ~0.25 m deep.
+    verts = verts * np.array([0.35, 0.85, 0.25])
+    V = verts.shape[0]
+
+    shape_dim = SHAPE_SPACE_DIM
+    if model_type == "smplx":
+        shape_dim = SHAPE_SPACE_DIM + EXPRESSION_SPACE_DIM
+    if num_shape_dirs is not None:
+        shape_dim = num_shape_dirs
+    # Smooth shape basis: low-frequency functions of the template coords.
+    freqs = rng.normal(size=(3, shape_dim)) * 2.0
+    phase = rng.uniform(0, 2 * np.pi, size=(shape_dim,))
+    field = np.sin(verts @ freqs + phase)  # (V, S)
+    dirs = rng.normal(size=(3, shape_dim)) * 0.01
+    shapedirs = field[:, None, :] * dirs[None, :, :]  # (V, 3, S)
+
+    P = 9 * (J - 1)
+    posedirs = rng.normal(size=(V, 3, P)) * 1e-4
+
+    # Chain skeleton: root at pelvis height, children along y.
+    parents = np.zeros(J, dtype=np.int64)
+    parents[0] = -1
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2  # binary tree: depth ~ log2(J)
+
+    # Joint regressor: each joint is a normalised weighting of nearby verts.
+    joint_pos = rng.uniform(-0.5, 0.5, size=(J, 3)) * np.array([0.3, 0.8, 0.2])
+    joint_pos[0] = 0.0
+    d2 = ((verts[None, :, :] - joint_pos[:, None, :]) ** 2).sum(-1)
+    J_regressor = np.exp(-d2 / 0.02)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+
+    w = np.exp(-d2.T / 0.05)  # (V, J)
+    weights = w / w.sum(axis=1, keepdims=True)
+
+    kintree_table = np.stack(
+        [parents, np.arange(J, dtype=np.int64)], axis=0
+    )
+    kintree_table[0, 0] = 2**32 - 1  # reference files use uint32 -1 at root
+
+    data: Dict[str, Any] = {
+        "v_template": verts.astype(np.float64),
+        "shapedirs": shapedirs.astype(np.float64),
+        "posedirs": posedirs.astype(np.float64),
+        "J_regressor": J_regressor.astype(np.float64),
+        "kintree_table": kintree_table,
+        "weights": weights.astype(np.float64),
+        "f": faces,
+    }
+
+    if model_type in ("smplh", "smplx"):
+        ncomps = 45
+        comps = rng.normal(size=(ncomps, ncomps)) * 0.1
+        data["hands_componentsl"] = comps
+        data["hands_componentsr"] = comps[::-1].copy()
+        data["hands_meanl"] = rng.normal(size=(ncomps,)) * 0.05
+        data["hands_meanr"] = rng.normal(size=(ncomps,)) * 0.05
+    if model_type == "smplx":
+        L = 51
+        data["lmk_faces_idx"] = rng.integers(0, faces.shape[0], size=(L,))
+        b = rng.uniform(size=(L, 3))
+        data["lmk_bary_coords"] = b / b.sum(axis=1, keepdims=True)
+        data["dynamic_lmk_faces_idx"] = rng.integers(
+            0, faces.shape[0], size=(79, 17)
+        )
+        b = rng.uniform(size=(79, 17, 3))
+        data["dynamic_lmk_bary_coords"] = b / b.sum(axis=-1, keepdims=True)
+    return data
+
+
+def save_model_data(data: Dict[str, np.ndarray], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **data)

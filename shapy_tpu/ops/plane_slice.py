@@ -1,0 +1,71 @@
+"""Dense plane-triangle slicing (the TPU replacement for the reference's
+CUDA LBVH mesh-mesh intersection).
+
+In every in-repo use of the reference kernel the query mesh is a horizontal
+plane (two triangles) intersected with a body mesh
+(``mesh-mesh-intersection/body_measurements/body_measurements.py:86-97``).
+A BVH is the wrong tool on TPU: the dense O(F) slice below touches all F
+triangles with ~30 flops each (SMPL-X F=20908 -> ~0.6 MFLOP, nothing), is a
+single fused elementwise pipeline over a static shape, is batchable over
+meshes AND planes, and — unlike the reference op, which is wrapped in
+``torch.no_grad()`` — is differentiable end to end.
+
+Given triangles (..., F, 3, 3) and plane height h (y = h), each triangle
+crossed by the plane contributes one segment (2 points). Output is a fixed
+(..., F, 2, 3) point buffer plus a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def plane_slice_triangles(
+    triangles: Array, height: Array, axis: int = 1
+) -> Tuple[Array, Array]:
+    """Intersect triangles with the plane ``coord[axis] == height``.
+
+    Args:
+      triangles: (..., F, 3, 3) triangle vertex coordinates.
+      height: (...,) plane height per batch element (broadcast against the
+        leading dims of ``triangles``).
+      axis: coordinate axis the plane is orthogonal to (1 = y, the
+        reference's convention for circumference slices).
+
+    Returns:
+      points: (..., F, 2, 3) the two intersection points per triangle
+        (zeros where invalid),
+      valid: (..., F) bool, True where the triangle crosses the plane with
+        a proper 2-edge intersection.
+    """
+    h = jnp.asarray(height)[..., None, None]
+    s = triangles[..., axis] - h  # (..., F, 3) signed distances
+
+    # Edge order (0-1, 1-2, 2-0). t is the crossing parameter on each edge.
+    ia = jnp.array([0, 1, 2])
+    ib = jnp.array([1, 2, 0])
+    sa = s[..., ia]
+    sb = s[..., ib]
+    crossing = (sa * sb) < 0.0  # strict: vertex-on-plane treated as miss
+    denom = sa - sb
+    t = sa / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+    pa = triangles[..., ia, :]
+    pb = triangles[..., ib, :]
+    q = pa + t[..., None] * (pb - pa)  # (..., F, 3edges, 3)
+
+    ncross = jnp.sum(crossing, axis=-1)
+    valid = ncross == 2
+
+    # With exactly two crossings the pair is one of (0,1), (0,2), (1,2):
+    # first point is edge 0 if it crosses else edge 1; second is edge 2 if
+    # it crosses else edge 1.
+    first = jnp.where(crossing[..., 0, None], q[..., 0, :], q[..., 1, :])
+    second = jnp.where(crossing[..., 2, None], q[..., 2, :], q[..., 1, :])
+    points = jnp.stack([first, second], axis=-2)
+    points = jnp.where(valid[..., None, None], points, 0.0)
+    return points, valid
