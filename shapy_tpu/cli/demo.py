@@ -1,0 +1,278 @@
+"""SHAPY regressor demo: images + OpenPose keypoints -> SMPL-X fits.
+
+Behavioural spec: reference ``regressor/demo.py:122-439`` — same flags
+(--exp-cfg/--exp-opts layered config, --datasets, --output-folder,
+--save-vis/--save-params/--save-mesh), same outputs per image: a
+compressed npz of the stage_02 parameters + blender-style camera
+conversion (fname, vertices, v_shaped, joints, betas, global_rot,
+raw_global_rot, body_pose, raw_body_pose, camera, measurements,
+proj_joints, shift_x, shift_y, transl, focal_length_in_mm/px, center,
+sensor_width — schema matches samples/shapy_fit_for_virtual_measurements),
+a .ply mesh, and a rendered overlay.
+
+TPU-first: the whole per-batch model forward (backbone -> head -> SMPL-X
+-> measurements) is one jit; rendering stays host-side off the hot path,
+as in the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+DEFAULT_FOCAL_LENGTH = 5000.0
+DEFAULT_SENSOR_WIDTH = 36.0
+
+
+def weak_persp_to_blender(
+    orig_centers: np.ndarray,
+    orig_bbox_sizes: np.ndarray,
+    camera_scale: np.ndarray,
+    camera_transl: np.ndarray,
+    H: int,
+    W: int,
+    sensor_width: float = DEFAULT_SENSOR_WIDTH,
+    focal_length: float = DEFAULT_FOCAL_LENGTH,
+) -> Dict[str, np.ndarray]:
+    """Weak-perspective -> perspective (Blender) camera
+    (reference demo.py:70-106): z = 2f / (s * bbox_size)."""
+    camera_scale = np.asarray(camera_scale).reshape(-1)
+    camera_transl = np.asarray(camera_transl).reshape(-1, 2)
+    z = 2.0 * focal_length / (camera_scale * orig_bbox_sizes)
+    transl = np.concatenate([camera_transl, z[:, None]], axis=1)
+    shift_x = -(orig_centers[:, 0] / W - 0.5)
+    shift_y = (orig_centers[:, 1] - 0.5 * H) / W
+    n = len(camera_scale)
+    return {
+        "shift_x": shift_x,
+        "shift_y": shift_y,
+        "transl": transl,
+        "focal_length_in_mm": np.full(n, focal_length / W * sensor_width),
+        "focal_length_in_px": np.full(n, focal_length),
+        "center": orig_centers,
+        "sensor_width": np.full(n, sensor_width),
+    }
+
+
+def build_demo_regressor(exp_cfg: Dict, checkpoint_path: str = ""):
+    """Build the flagship regressor from a layered config; import the
+    reference torch checkpoint when provided."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+
+    body_cfg = dict(exp_cfg.get("body_model") or {})
+    model_folder = os.path.expandvars(body_cfg.get("model_folder", ""))
+    smplx_cfg = dict(body_cfg.get("smplx") or {})
+    use_synthetic = (
+        os.environ.get("SHAPY_TPU_SYNTHETIC_BODY", "0") == "1"
+        or not os.path.isdir(model_folder)
+    )
+    if use_synthetic:
+        body_model = SMPLX(
+            model_data=make_synthetic_model_data("smplx", subdivisions=5),
+            num_betas=int((smplx_cfg.get("betas") or {}).get("num", 10)),
+        )
+        anchors = MeasurementAnchors.synthetic(
+            body_model.faces, np.asarray(body_model.params["v_template"])
+        )
+        measurements = BodyMeasurements(anchors=anchors)
+    else:
+        body_model = SMPLX(
+            model_folder=model_folder,
+            num_betas=int((smplx_cfg.get("betas") or {}).get("num", 10)),
+            num_expression_coeffs=int(
+                (smplx_cfg.get("expression") or {}).get("num", 10)
+            ),
+            use_face_contour=bool(smplx_cfg.get("use_face_contour", False)),
+        )
+        measurements = BodyMeasurements(model_type="smplx")
+
+    regressor = build_body_head(
+        exp_cfg, body_model=body_model, measurements=measurements
+    )
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        from shapy_tpu.io.model_import import load_reference_model_checkpoint
+
+        regressor.params = load_reference_model_checkpoint(
+            checkpoint_path, regressor.params
+        )
+    return regressor
+
+
+def main(
+    exp_cfg: Dict,
+    demo_output_folder: str = "demo_output",
+    datasets=("openpose",),
+    save_vis: bool = True,
+    save_params: bool = True,
+    save_mesh: bool = True,
+    split: str = "test",
+) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from shapy_tpu.data.datasets import OpenPoseDataset
+    from shapy_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        build_transforms,
+    )
+    from shapy_tpu.render import render_mesh_overlay, save_ply
+
+    os.makedirs(demo_output_folder, exist_ok=True)
+
+    ds_cfg = dict(exp_cfg.get("datasets") or {})
+    pose_cfg = dict(ds_cfg.get("pose") or {})
+    op_cfg = dict(pose_cfg.get("openpose") or {})
+    data_folder = op_cfg.get("data_folder", "data/openpose")
+
+    transforms = build_transforms(
+        {"crop_size": int(ds_cfg.get("crop_size", 256))},
+        is_train=False,
+        return_full_imgs=True,
+    )
+    dataset = OpenPoseDataset(
+        data_folder=data_folder,
+        img_folder=op_cfg.get("img_folder", "images"),
+        keyp_folder=op_cfg.get("keyp_folder", "keypoints"),
+        transforms=transforms,
+        split=split,
+    )
+    if len(dataset) == 0:
+        print("No inputs found", file=sys.stderr)
+        return 1
+
+    checkpoint = os.path.expandvars(exp_cfg.get("pretrained", "") or "")
+    regressor = build_demo_regressor(exp_cfg, checkpoint)
+
+    @jax.jit
+    def forward(params, images):
+        return regressor.apply(params, images)
+
+    total_time, cnt = 0.0, 0
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        if sample is None:
+            continue
+        images = jnp.asarray(sample["cropped_image"])[None]
+
+        start = time.perf_counter()
+        out = forward(regressor.params, images)
+        jax.block_until_ready(out["proj_joints"])
+        total_time += time.perf_counter() - start
+        cnt += 1
+
+        stage = out[f"stage_{regressor.num_stages - 1:02d}"]
+        cam = out["camera_parameters"]
+        full_img = sample.get("image")
+        H, W = (full_img.shape[:2] if full_img is not None else (256, 256))
+        hd_params = weak_persp_to_blender(
+            np.asarray(sample["orig_center"]).reshape(1, 2),
+            np.asarray([sample["orig_bbox_size"]]),
+            np.asarray(cam["scale"]),
+            np.asarray(cam["translation"]),
+            H, W,
+        )
+
+        imgname = os.path.splitext(sample["fname"])[0]
+        vertices = np.asarray(stage["vertices"][0])
+        faces = regressor.model.faces
+
+        if save_params:
+            out_params: Dict[str, np.ndarray] = {"fname": sample["fname"]}
+            for key, val in stage.items():
+                if hasattr(val, "shape"):
+                    out_params[key] = np.asarray(val)[0] if (
+                        getattr(val, "ndim", 0) > 0
+                        and val.shape[0] == 1
+                    ) else np.asarray(val)
+                elif isinstance(val, dict):  # measurements
+                    out_params[key] = {
+                        k: np.asarray(v)[0] for k, v in val.items()
+                    }
+            out_params["proj_joints"] = np.asarray(out["proj_joints"])[0]
+            for key, val in hd_params.items():
+                out_params[key] = (
+                    val[0] if np.ndim(val[0]) else float(val[0])
+                )
+            np.savez_compressed(
+                os.path.join(demo_output_folder, f"{imgname}.npz"),
+                **out_params,
+            )
+
+        if save_mesh:
+            save_ply(
+                os.path.join(demo_output_folder, f"{imgname}.ply"),
+                vertices + hd_params["transl"][0],
+                faces,
+            )
+
+        if save_vis and full_img is not None:
+            overlay = render_mesh_overlay(
+                full_img,
+                vertices,
+                faces,
+                transl=hd_params["transl"][0],
+                focal_length=DEFAULT_FOCAL_LENGTH,
+            )
+            import cv2
+
+            cv2.imwrite(
+                os.path.join(demo_output_folder, f"{imgname}_overlay.png"),
+                cv2.cvtColor(
+                    (np.clip(overlay, 0, 1) * 255).astype(np.uint8),
+                    cv2.COLOR_RGB2BGR,
+                ),
+            )
+
+    if cnt:
+        print(f"Average inference time: {total_time / cnt}")
+    return 0
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="SHAPY TPU regressor demo",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--exp-cfg", dest="exp_cfgs", nargs="+", default=[])
+    parser.add_argument("--exp-opts", dest="exp_opts", nargs="*",
+                        default=[])
+    parser.add_argument("--output-folder", dest="output_folder",
+                        default="demo_output")
+    parser.add_argument("--datasets", nargs="+", default=["openpose"])
+    parser.add_argument("--save-vis", dest="save_vis", default=True,
+                        type=lambda x: str(x).lower() in ("true", "1"))
+    parser.add_argument("--save-params", dest="save_params", default=True,
+                        type=lambda x: str(x).lower() in ("true", "1"))
+    parser.add_argument("--save-mesh", dest="save_mesh", default=True,
+                        type=lambda x: str(x).lower() in ("true", "1"))
+    parser.add_argument("--split", default="test")
+    return parser
+
+
+if __name__ == "__main__":
+    from shapy_tpu.utils.config import load_config
+
+    args = build_parser().parse_args()
+    cfg = load_config({}, args.exp_cfgs, args.exp_opts)
+    sys.exit(
+        main(
+            cfg,
+            demo_output_folder=args.output_folder,
+            datasets=args.datasets,
+            save_vis=args.save_vis,
+            save_params=args.save_params,
+            save_mesh=args.save_mesh,
+            split=args.split,
+        )
+    )

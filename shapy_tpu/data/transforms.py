@@ -1,0 +1,368 @@
+"""Data augmentation / preprocessing pipeline (host-side numpy).
+
+Behavioural spec: reference ``regressor/human_shape/data/transforms/
+transforms.py:21-733`` and ``transforms/build.py:7-102``. Samples are
+plain dicts carrying fixed-size numpy arrays — the TPU-friendly
+pad-and-mask representation — instead of the reference's structure-object
+graph:
+
+  image        (H, W, 3) float32 in [0, 1]
+  keypoints2d  (N, 3) [x, y, conf] in image pixels
+  center (2,), scale (float), bbox_size (float)
+  + passthrough annotation fields (betas, gender, attributes, ...).
+
+Augmentations mutate center/scale/rotation and let the single terminal
+``Crop`` apply ONE affine warp — the reference reaches the same crop
+through pad/slice/rotate/resize chains; one warp is cheaper and loses
+less signal.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from shapy_tpu.data import crop as crop_utils
+from shapy_tpu.data.keypoints import flip_permutation
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+Sample = Dict[str, object]
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = [t for t in transforms if t is not None]
+
+    def __call__(self, sample: Sample, rng: np.random.Generator) -> Sample:
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return sample
+
+
+class Resize:
+    """Cap the longer image side at ``max_size`` (transforms.py Resize)."""
+
+    def __init__(self, max_size: float = -1):
+        self.max_size = max_size
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.max_size <= 0:
+            return sample
+        img = sample["image"]
+        H, W = img.shape[:2]
+        longer = max(H, W)
+        if longer <= self.max_size:
+            return sample
+        import cv2
+
+        ratio = self.max_size / longer
+        sample["image"] = cv2.resize(
+            img, (int(W * ratio), int(H * ratio)),
+            interpolation=cv2.INTER_AREA,
+        )
+        for key in ("keypoints2d",):
+            if key in sample and sample[key] is not None:
+                kp = np.array(sample[key], copy=True)
+                kp[..., :2] *= ratio
+                sample[key] = kp
+        sample["center"] = np.asarray(sample["center"]) * ratio
+        sample["scale"] = float(sample["scale"]) * ratio
+        return sample
+
+
+class BBoxCenterJitter:
+    def __init__(self, factor: float = 0.0, dist: str = "normal"):
+        self.factor = factor
+        self.dist = dist
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.factor <= 1e-3:
+            return sample
+        bbox_size = float(sample["scale"]) * crop_utils.REF_BBOX_SIZE
+        if self.dist == "normal":
+            jitter = rng.normal(size=2) * self.factor * bbox_size
+        else:
+            jitter = (rng.uniform(size=2) * 2 - 1) * self.factor * bbox_size
+        sample["center"] = np.asarray(sample["center"]) + jitter
+        return sample
+
+
+class RandomHorizontalFlip:
+    def __init__(self, prob: float = 0.0, fmt: str = "openpose25_v1"):
+        self.prob = prob
+        self.perm = flip_permutation(fmt) if prob > 0 else None
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.prob <= 0 or rng.uniform() > self.prob:
+            return sample
+        img = sample["image"]
+        W = img.shape[1]
+        sample["image"] = np.ascontiguousarray(img[:, ::-1])
+        kp = sample.get("keypoints2d")
+        if kp is not None:
+            kp = np.array(kp, copy=True)[self.perm]
+            kp[:, 0] = W - 1 - kp[:, 0]
+            sample["keypoints2d"] = kp
+        c = np.asarray(sample["center"], dtype=np.float64).copy()
+        c[0] = W - 1 - c[0]
+        sample["center"] = c
+        sample["is_flipped"] = True
+        return sample
+
+
+class RandomRotation:
+    def __init__(self, is_train: bool = True, rotation_factor: float = 0.0):
+        self.factor = rotation_factor if is_train else 0.0
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.factor <= 0:
+            return sample
+        # Reference convention: rot ~ clamp(N(0, factor), +-2factor),
+        # applied 60% of the time (transforms.py RandomRotation).
+        if rng.uniform() > 0.6:
+            return sample
+        rot = np.clip(
+            rng.normal() * self.factor, -2 * self.factor, 2 * self.factor
+        )
+        sample["rotation"] = float(sample.get("rotation", 0.0) + rot)
+        return sample
+
+
+class MotionBlur:
+    def __init__(self, prob: float = 0.0, kernel_size_min: int = 3,
+                 kernel_size_max: int = 7):
+        self.prob = prob
+        self.kmin = kernel_size_min
+        self.kmax = kernel_size_max
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.prob <= 0 or rng.uniform() > self.prob:
+            return sample
+        import cv2
+
+        k = int(rng.integers(self.kmin, self.kmax + 1)) | 1
+        kernel = np.zeros((k, k), np.float32)
+        angle = rng.uniform(0, np.pi)
+        c = k // 2
+        dx, dy = np.cos(angle), np.sin(angle)
+        for t in np.linspace(-c, c, 2 * k):
+            x, y = int(round(c + t * dx)), int(round(c + t * dy))
+            if 0 <= x < k and 0 <= y < k:
+                kernel[y, x] = 1
+        kernel /= kernel.sum()
+        sample["image"] = cv2.filter2D(sample["image"], -1, kernel)
+        return sample
+
+
+class ExtremeBodyCrop:
+    """Crop to torso / upper body keypoints (transforms.py ExtremeBodyCrop),
+    used to augment truncation robustness."""
+
+    def __init__(self, prob: float = 0.0, torso_upper_body_prob: float = 0.5,
+                 fmt: str = "openpose25_v1"):
+        from shapy_tpu.data.keypoints import get_part_idxs
+
+        self.prob = prob
+        self.torso_prob = torso_upper_body_prob
+        parts = get_part_idxs(fmt)
+        self.torso_idxs = parts["torso"]
+        self.upper_idxs = parts["upper"]
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.prob <= 0 or rng.uniform() > self.prob:
+            return sample
+        kp = sample.get("keypoints2d")
+        if kp is None:
+            return sample
+        idxs = (
+            self.torso_idxs if rng.uniform() < self.torso_prob
+            else self.upper_idxs
+        )
+        part = kp[idxs]
+        valid = part[part[:, 2] > 0]
+        if len(valid) < 4:
+            return sample
+        mn, mx = valid[:, :2].min(0), valid[:, :2].max(0)
+        center = 0.5 * (mn + mx)
+        size = 1.2 * max(mx[0] - mn[0], mx[1] - mn[1])
+        if size < 10:
+            return sample
+        sample["center"] = center
+        sample["scale"] = float(size / crop_utils.REF_BBOX_SIZE)
+        return sample
+
+
+class Crop:
+    """Terminal crop: apply scale augmentation, then one affine warp to the
+    network input resolution; remap keypoints into crop pixel coords."""
+
+    def __init__(self, crop_size: int = 256, is_train: bool = False,
+                 scale_factor: float = 0.0, scale_dist: str = "uniform",
+                 scale_factor_min: float = 1.0, scale_factor_max: float = 1.0,
+                 return_full_imgs: bool = False):
+        self.crop_size = crop_size
+        self.is_train = is_train
+        self.scale_factor = scale_factor
+        self.scale_dist = scale_dist
+        self.scale_factor_min = scale_factor_min
+        self.scale_factor_max = scale_factor_max
+        self.return_full_imgs = return_full_imgs
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        scale = float(sample["scale"])
+        if self.is_train and self.scale_factor > 0:
+            if self.scale_dist == "normal":
+                sc = np.clip(
+                    rng.normal() * self.scale_factor + 1,
+                    1 - self.scale_factor, 1 + self.scale_factor,
+                )
+            else:
+                sc = rng.uniform(self.scale_factor_min,
+                                 self.scale_factor_max)
+            scale *= float(sc)
+        center = np.asarray(sample["center"], dtype=np.float64)
+        rot = float(sample.get("rotation", 0.0))
+        res = (self.crop_size, self.crop_size)
+
+        img = sample["image"]
+        sample["cropped_image"] = crop_utils.crop_image(
+            img, center, scale, res, rot
+        )
+        affine = crop_utils.image_to_crop_affine(center, scale, res, rot)
+        sample["crop_to_image"] = crop_utils.crop_to_image_affine(
+            center, scale, res, rot
+        ).astype(np.float32)
+        kp = sample.get("keypoints2d")
+        if kp is not None:
+            kp = np.array(kp, copy=True)
+            kp[:, :2] = crop_utils.transform_points(kp[:, :2], affine)
+            sample["cropped_keypoints2d"] = kp.astype(np.float32)
+            # [-1, 1]-normalised target keypoints, the loss convention
+            # (reference structures/keypoints.py:285-300).
+            norm = np.array(kp, copy=True)
+            norm[:, :2] = 2.0 * norm[:, :2] / self.crop_size - 1.0
+            sample["target_keypoints2d"] = norm.astype(np.float32)
+        sample["center"] = center
+        sample["scale"] = scale
+        if not self.return_full_imgs:
+            sample.pop("image")
+        return sample
+
+
+class ChannelNoise:
+    def __init__(self, noise_scale: float = 0.0):
+        self.noise_scale = noise_scale
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.noise_scale <= 0:
+            return sample
+        # Per-channel multiplicative jitter (transforms.py ChannelNoise).
+        pn = rng.uniform(1 - self.noise_scale, 1 + self.noise_scale, size=3)
+        key = "cropped_image" if "cropped_image" in sample else "image"
+        sample[key] = np.clip(sample[key] * pn[None, None], 0.0, 1.0).astype(
+            np.float32
+        )
+        return sample
+
+
+class SimulateLowRes:
+    def __init__(self, dist: str = "categorical",
+                 cat_factors: Tuple[float, ...] = (1.0,),
+                 factor_min: float = 1.0, factor_max: float = 1.0):
+        self.dist = dist
+        self.cat_factors = cat_factors
+        self.factor_min = factor_min
+        self.factor_max = factor_max
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        if self.dist == "categorical":
+            factor = self.cat_factors[
+                int(rng.integers(len(self.cat_factors)))
+            ]
+        else:
+            factor = rng.uniform(self.factor_min, self.factor_max)
+        if factor <= 1.0:
+            return sample
+        import cv2
+
+        key = "cropped_image" if "cropped_image" in sample else "image"
+        img = sample[key]
+        H, W = img.shape[:2]
+        small = cv2.resize(
+            img, (max(1, int(W / factor)), max(1, int(H / factor))),
+            interpolation=cv2.INTER_AREA,
+        )
+        sample[key] = cv2.resize(small, (W, H),
+                                 interpolation=cv2.INTER_LINEAR)
+        return sample
+
+
+class Normalize:
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample: Sample, rng) -> Sample:
+        for key in ("cropped_image", "image"):
+            if key in sample and sample[key] is not None:
+                sample[key] = (
+                    (sample[key] - self.mean) / self.std
+                ).astype(np.float32)
+        return sample
+
+
+def build_transforms(
+    transf_cfg: Optional[Dict] = None,
+    is_train: bool = False,
+    enable_augment: bool = True,
+    return_full_imgs: bool = False,
+    fmt: str = "openpose25_v1",
+) -> Compose:
+    """Assemble the pipeline (reference transforms/build.py:7-102)."""
+    cfg = dict(transf_cfg or {})
+    aug = is_train and enable_augment
+    crop_size = int(cfg.get("crop_size", 256))
+    return Compose(
+        [
+            Resize(cfg.get("max_size", -1) if aug else -1),
+            BBoxCenterJitter(
+                cfg.get("center_jitter_factor", 0.0) if aug else 0.0,
+                cfg.get("center_jitter_dist", "normal"),
+            ),
+            MotionBlur(
+                cfg.get("motion_blur_prob", 0.0) if aug else 0.0,
+                cfg.get("motion_blur_kernel_size_min", 3),
+                cfg.get("motion_blur_kernel_size_max", 7),
+            ),
+            RandomHorizontalFlip(
+                cfg.get("flip_prob", 0.0) if aug else 0.0, fmt
+            ),
+            RandomRotation(aug, cfg.get("rotation_factor", 0.0)),
+            ExtremeBodyCrop(
+                cfg.get("extreme_crop_prob", 0.0) if aug else 0.0,
+                cfg.get("torso_upper_body_prob", 0.5), fmt,
+            ),
+            Crop(
+                crop_size,
+                is_train=aug,
+                scale_factor=cfg.get("scale_factor", 0.0) if aug else 0.0,
+                scale_dist=cfg.get("scale_dist", "uniform"),
+                scale_factor_min=cfg.get("scale_factor_min", 1.0),
+                scale_factor_max=cfg.get("scale_factor_max", 1.0),
+                return_full_imgs=return_full_imgs,
+            ),
+            ChannelNoise(cfg.get("noise_scale", 0.0) if aug else 0.0),
+            SimulateLowRes(
+                cfg.get("downsample_dist", "categorical"),
+                tuple(cfg.get("downsample_cat_factors", (1.0,))),
+                cfg.get("downsample_factor_min", 1.0),
+                cfg.get("downsample_factor_max", 1.0),
+            ),
+            Normalize(
+                cfg.get("mean", IMAGENET_MEAN), cfg.get("std", IMAGENET_STD)
+            ),
+        ]
+    )

@@ -25,7 +25,10 @@ def _to_numpy(obj: Any) -> Any:
         import torch
 
         if isinstance(obj, torch.Tensor):
-            return obj.detach().cpu().numpy()
+            # .copy() severs the view into torch-owned memory — jnp.asarray
+            # on CPU may otherwise zero-copy alias a buffer torch can
+            # mutate in place.
+            return obj.detach().cpu().numpy().copy()
     except ImportError:
         pass
     if isinstance(obj, dict):

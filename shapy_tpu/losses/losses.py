@@ -1,0 +1,156 @@
+"""Loss functions (pure JAX).
+
+Behavioural spec: reference ``regressor/human_shape/losses/losses.py``
+(factory at :46-75) and ``losses/robustifiers.py`` — gmof (Geman-McClure),
+confidence-weighted keypoint losses, L2/weighted-L1 parameter losses,
+keypoint/vertex edge losses, rotation (Frobenius) loss.
+
+All losses are plain functions (loss, not modules); the factory returns a
+closure so configs keep working.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def gmof(x: Array, rho: float = 100.0) -> Array:
+    """Geman-McClure robustifier (robustifiers.py GMoF)."""
+    sq = x * x
+    return (rho * rho) * sq / (sq + rho * rho)
+
+
+def masked_mean(values: Array, weights: Optional[Array]) -> Array:
+    if weights is None:
+        return jnp.mean(values)
+    total = jnp.sum(weights)
+    return jnp.sum(values * weights) / jnp.maximum(total, 1e-8)
+
+
+def keypoint_loss(
+    pred: Array,
+    gt: Array,
+    conf: Optional[Array] = None,
+    norm_type: str = "l1",
+    rho: float = 100.0,
+) -> Array:
+    """Confidence-weighted keypoint loss (losses.py KeypointLoss).
+
+    pred/gt: (B, N, D); conf: (B, N) confidence weights.
+    """
+    diff = pred - gt
+    if norm_type == "l1":
+        per_kp = jnp.sum(jnp.abs(diff), axis=-1)
+    elif norm_type == "l2":
+        per_kp = jnp.sum(diff * diff, axis=-1)
+    elif norm_type == "gmof":
+        per_kp = jnp.sum(gmof(diff, rho), axis=-1)
+    else:
+        raise ValueError(f"Unknown norm type: {norm_type}")
+    return masked_mean(per_kp, conf)
+
+
+def l2_loss(pred: Array, gt: Array, weights: Optional[Array] = None
+            ) -> Array:
+    per = jnp.sum((pred - gt) ** 2, axis=-1)
+    per = per.reshape(per.shape[0], -1).mean(axis=-1)
+    return masked_mean(per, weights)
+
+
+def weighted_l1_loss(pred: Array, gt: Array,
+                     weights: Optional[Array] = None) -> Array:
+    per = jnp.abs(pred - gt)
+    per = per.reshape(per.shape[0], -1).mean(axis=-1)
+    return masked_mean(per, weights)
+
+
+def keypoint_edge_loss(
+    pred: Array, gt: Array, connections, conf: Optional[Array] = None,
+    norm_type: str = "l1",
+) -> Array:
+    """Bone-vector loss over the skeleton edges (losses.py edge losses):
+    compares edge vectors instead of absolute positions, which removes
+    global translation and focuses on limb directions/lengths."""
+    import numpy as np
+
+    conn = jnp.asarray(np.asarray(connections), jnp.int32)
+    pe = pred[:, conn[:, 1]] - pred[:, conn[:, 0]]
+    ge = gt[:, conn[:, 1]] - gt[:, conn[:, 0]]
+    edge_conf = None
+    if conf is not None:
+        edge_conf = conf[:, conn[:, 0]] * conf[:, conn[:, 1]]
+    return keypoint_loss(pe, ge, edge_conf, norm_type)
+
+
+def vertex_edge_loss(
+    pred_verts: Array, gt_verts: Array, edges,
+) -> Array:
+    """Mesh edge-length/direction loss (attributes VertexEdgeLoss,
+    attributes/utils/losses.py:14)."""
+    import numpy as np
+
+    e = jnp.asarray(np.asarray(edges), jnp.int32)
+    pe = pred_verts[:, e[:, 1]] - pred_verts[:, e[:, 0]]
+    ge = gt_verts[:, e[:, 1]] - gt_verts[:, e[:, 0]]
+    return jnp.mean(jnp.sum(jnp.abs(pe - ge), axis=-1))
+
+
+def rotation_loss(pred: Array, gt: Array,
+                  weights: Optional[Array] = None) -> Array:
+    """Frobenius distance between rotation matrices (losses.py
+    RotationDistance)."""
+    per = jnp.sum((pred - gt) ** 2, axis=(-1, -2))
+    per = per.reshape(per.shape[0], -1).mean(axis=-1)
+    return masked_mean(per, weights)
+
+
+def bce_loss(pred_logits: Array, gt: Array) -> Array:
+    logp = jax.nn.log_sigmoid(pred_logits)
+    lognp = jax.nn.log_sigmoid(-pred_logits)
+    return -jnp.mean(gt * logp + (1 - gt) * lognp)
+
+
+def mse_loss(pred: Array, gt: Array) -> Array:
+    return jnp.mean((pred - gt) ** 2)
+
+
+LOSS_FACTORY: Dict[str, Callable] = {
+    "keypoints": keypoint_loss,
+    "gmof": lambda p, g, c=None, rho=100.0: keypoint_loss(
+        p, g, c, "gmof", rho
+    ),
+    "l2": l2_loss,
+    "weighted-l1": weighted_l1_loss,
+    "keypoint-edge": keypoint_edge_loss,
+    "vertex-edge": vertex_edge_loss,
+    "rotation": rotation_loss,
+    "bce": bce_loss,
+    "mse": mse_loss,
+}
+
+
+def build_loss(loss_type: str = "l2", **kwargs) -> Callable:
+    """Factory mirroring reference build_loss (losses.py:46-75); returns a
+    closure binding config kwargs (norm_type, rho, ...)."""
+    if loss_type not in LOSS_FACTORY:
+        raise ValueError(f"Unknown loss type: {loss_type}")
+    fn = LOSS_FACTORY[loss_type]
+    if not kwargs:
+        return fn
+
+    def bound(*args, **kw):
+        merged = {**kwargs, **kw}
+        merged.pop("weight", None)
+        merged.pop("type", None)
+        valid = {
+            k: v for k, v in merged.items()
+            if k in fn.__code__.co_varnames
+        }
+        return fn(*args, **valid)
+
+    return bound

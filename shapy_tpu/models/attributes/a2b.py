@@ -73,6 +73,23 @@ class A2B:
             return to_whw2s(features, self.feature_names)
         return features
 
+    def create_input_feature_vec_jax(self, batch):
+        """Traceable feature-vec construction for use inside the jitted
+        regressor forward (iterative_regressor.py:819-843). Matches the
+        reference exactly: only the bodytalk measurement preprocessing is
+        applied here (a2b.py:586-590); the whw2s transform is a fit-time
+        concern and is NOT applied on this path."""
+        cols = [jnp.asarray(batch["rating"])[:, self.selected_attr_idx]]
+        for name in self.selected_mmts:
+            m = jnp.asarray(batch[name]).reshape(-1, 1)
+            if self.bodytalk_meas_preprocess:
+                if "height" in name:
+                    m = m * 100.0
+                if "mass" in name or "weight" in name:
+                    m = jnp.cbrt(m)
+            cols.append(m)
+        return jnp.concatenate(cols, axis=1)
+
     # -- inference ---------------------------------------------------------
     def predict(self, features) -> np.ndarray:
         return self.a2b.predict(self.preprocess(np.asarray(features)))

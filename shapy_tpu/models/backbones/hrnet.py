@@ -1,0 +1,222 @@
+"""HRNet-W48 backbone (pure-JAX functional, NHWC, torch-name params).
+
+Architectural spec: reference ``regressor/human_shape/models/backbone/
+hrnet.py:18-554`` (ExPose variant of HRNetV2-W48):
+
+  stem (2 x stride-2 conv-BN-ReLU, 64ch)
+  -> stage1: 4 Bottleneck(64) blocks (256ch out)
+  -> transition1 -> stage2: 1 module, 2 branches (48, 96), 4 BasicBlocks
+  -> transition2 -> stage3: 4 modules, 3 branches (48, 96, 192)
+  -> transition3 -> stage4: 3 modules, 4 branches (48, 96, 192, 384)
+  -> head: subsample every branch to 1/32 resolution (stride-2 convs with
+     bias, hrnet.py:376-392), concat to 4*384=1536, 5 Bottleneck(512)
+     layers to 2048 (downsample = bare 1x1 conv, hrnet.py:363-372),
+     global mean-pool -> output['concat'] (B, 2048).
+
+Param keys equal the torch ``state_dict`` keys, so the shipped SHAPY /
+ImageNet checkpoints import with a transpose only (see
+``hrnet_import.py``). Only the default (``use_old_impl=False``) variant is
+implemented — the SHAPY release checkpoints use it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapy_tpu.models.backbones.layers import (
+    ParamStore,
+    basic_block,
+    batch_norm,
+    bottleneck_block,
+    conv2d,
+    conv_bn_relu,
+    nearest_upsample,
+)
+
+Array = jax.Array
+
+# (num_modules, num_branches, num_blocks, num_channels, block)
+W48_STAGES = {
+    "stage1": (1, 1, (4,), (64,), "BOTTLENECK"),
+    "stage2": (1, 2, (4, 4), (48, 96), "BASIC"),
+    "stage3": (4, 3, (4, 4, 4), (48, 96, 192), "BASIC"),
+    "stage4": (3, 4, (4, 4, 4, 4), (48, 96, 192, 384), "BASIC"),
+}
+
+
+def _expansion(block: str) -> int:
+    return 4 if block == "BOTTLENECK" else 1
+
+
+def _branch_channels(stage: str) -> List[int]:
+    _, _, _, chans, block = W48_STAGES[stage]
+    return [c * _expansion(block) for c in chans]
+
+
+def _run_block_seq(store, prefix, x, block, planes, num_blocks, train,
+                   axis_name):
+    fn = bottleneck_block if block == "BOTTLENECK" else basic_block
+    out_ch = planes * _expansion(block)
+    for i in range(num_blocks):
+        downsample = i == 0 and x.shape[-1] != out_ch
+        x = fn(store, f"{prefix}.{i}", x, planes, 1, downsample, train,
+               axis_name=axis_name)
+    return x
+
+
+def _transition(store, name, xs, pre_ch, cur_ch, train, axis_name):
+    """Branch-count / channel adaptation between stages
+    (hrnet.py:306-340). Returns one tensor per current branch."""
+    out = []
+    for i in range(len(cur_ch)):
+        if i < len(pre_ch):
+            if cur_ch[i] != pre_ch[i]:
+                out.append(
+                    conv_bn_relu(
+                        store, f"{name}.{i}.0", f"{name}.{i}.1", xs[i],
+                        cur_ch[i], 3, 1, 1, train, axis_name=axis_name,
+                    )
+                )
+            else:
+                out.append(xs[i])
+        else:
+            y = xs[-1]
+            for j in range(i + 1 - len(pre_ch)):
+                out_c = cur_ch[i] if j == i - len(pre_ch) else y.shape[-1]
+                y = conv_bn_relu(
+                    store, f"{name}.{i}.{j}.0", f"{name}.{i}.{j}.1", y,
+                    out_c, 3, 2, 1, train, axis_name=axis_name,
+                )
+            out.append(y)
+    return out
+
+
+def _fuse(store, prefix, xs, channels, train, axis_name):
+    """Multi-resolution fusion (hrnet.py:118-170,186-194): every output
+    branch sums contributions from every input branch, upsampling (1x1
+    conv + BN + nearest) from finer-indexed and strided-conv downsampling
+    from coarser-indexed branches."""
+    fused = []
+    for i in range(len(xs)):
+        y = None
+        for j in range(len(xs)):
+            if j == i:
+                t = xs[j]
+            elif j > i:
+                t = conv2d(store, f"{prefix}.{i}.{j}.0", xs[j],
+                           channels[i], 1, 1, 0)
+                t = batch_norm(store, f"{prefix}.{i}.{j}.1", t, train,
+                               axis_name=axis_name)
+                t = nearest_upsample(t, 2 ** (j - i))
+            else:
+                t = xs[j]
+                for k in range(i - j):
+                    last = k == i - j - 1
+                    out_c = channels[i] if last else channels[j]
+                    t = conv2d(store, f"{prefix}.{i}.{j}.{k}.0", t, out_c,
+                               3, 2, 1)
+                    t = batch_norm(store, f"{prefix}.{i}.{j}.{k}.1", t,
+                                   train, axis_name=axis_name)
+                    if not last:
+                        t = jax.nn.relu(t)
+            y = t if y is None else y + t
+        fused.append(jax.nn.relu(y))
+    return fused
+
+
+def _stage(store, name, xs, stage_key, train, axis_name):
+    num_modules, num_branches, num_blocks, chans, block = W48_STAGES[
+        stage_key
+    ]
+    channels = [c * _expansion(block) for c in chans]
+    for m in range(num_modules):
+        xs = [
+            _run_block_seq(
+                store, f"{name}.{m}.branches.{b}", xs[b], block, chans[b],
+                num_blocks[b], train, axis_name,
+            )
+            for b in range(num_branches)
+        ]
+        if num_branches > 1:
+            xs = _fuse(store, f"{name}.{m}.fuse_layers", xs, channels,
+                       train, axis_name)
+    return xs
+
+
+def _subsample(store, name, x, num_layers, train, axis_name):
+    """Stride-2 conv(+bias)-BN-ReLU chain doubling channels each step
+    (hrnet.py:376-392)."""
+    for i in range(num_layers):
+        x = conv2d(store, f"{name}.{3 * i}", x, 2 * x.shape[-1], 3, 2, 1,
+                   bias=True)
+        x = batch_norm(store, f"{name}.{3 * i + 1}", x, train,
+                       axis_name=axis_name)
+        x = jax.nn.relu(x)
+    return x
+
+
+def hrnet_forward(
+    params: Dict[str, Array],
+    images: Array,
+    train: bool = False,
+    axis_name: Optional[str] = None,
+    return_stages: bool = False,
+    _store: Optional[ParamStore] = None,
+) -> Dict[str, Array]:
+    """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}."""
+    store = _store if _store is not None else ParamStore(params)
+    x = conv_bn_relu(store, "conv1", "bn1", images, 64, 3, 2, 1, train,
+                     axis_name=axis_name)
+    x = conv_bn_relu(store, "conv2", "bn2", x, 64, 3, 2, 1, train,
+                     axis_name=axis_name)
+    x = _run_block_seq(store, "layer1", x, "BOTTLENECK", 64, 4, train,
+                       axis_name)
+
+    xs = _transition(store, "transition1", [x], [256],
+                     _branch_channels("stage2"), train, axis_name)
+    xs = _stage(store, "stage2", xs, "stage2", train, axis_name)
+    xs = _transition(store, "transition2", xs, _branch_channels("stage2"),
+                     _branch_channels("stage3"), train, axis_name)
+    xs = _stage(store, "stage3", xs, "stage3", train, axis_name)
+    xs = _transition(store, "transition3", xs, _branch_channels("stage3"),
+                     _branch_channels("stage4"), train, axis_name)
+    xs = _stage(store, "stage4", xs, "stage4", train, axis_name)
+
+    # Head: bring every branch to 1/32 resolution and 384ch, concat, then
+    # five Bottleneck(512) layers to 2048 and a global mean pool.
+    x4 = _subsample(store, "subsample_4", xs[0], 3, train, axis_name)
+    x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
+    x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
+    x1 = xs[3]
+    feat = jnp.concatenate([x4, x3, x2, x1], axis=-1)
+    for i in range(5):
+        feat = bottleneck_block(
+            store, f"conv_layers.{i}", feat, 512, 1, True, train,
+            downsample_has_bn=False, axis_name=axis_name,
+        )
+    concat = jnp.mean(feat, axis=(1, 2))
+
+    out = {"concat": concat}
+    if return_stages:
+        for i, t in enumerate(xs):
+            out[f"layer{i + 1}"] = t
+    return out
+
+
+def hrnet_init(
+    seed: int = 0, dtype=jnp.float32
+) -> Dict[str, Array]:
+    """Create a freshly-initialised W48 param dict (normal std=0.001 convs,
+    unit BN — reference init_weights, hrnet.py:500-516)."""
+    store = ParamStore(rng=np.random.default_rng(seed), init=True,
+                       dtype=dtype)
+    dummy = jnp.zeros((1, 64, 64, 3), dtype=dtype)
+    hrnet_forward(store.params, dummy, _store=store)
+    return store.params
+
+
+HRNET_OUTPUT_DIM = 2048

@@ -1,0 +1,193 @@
+"""Functional conv-net building blocks with torch-compatible param naming.
+
+Design: instead of a module framework, networks are pure functions over a
+flat ``{name: array}`` param dict whose keys exactly match the reference
+PyTorch ``state_dict`` names (e.g. ``stage2.0.branches.1.3.conv2.weight``).
+This makes checkpoint import a mechanical transpose (OIHW -> HWIO), keeps
+the whole forward pass jittable/shardable as ``f(params, x)``, and lets the
+same code serve init (a ``ParamStore`` in create mode) and inference.
+
+Conventions: NHWC activations (TPU-native), HWIO conv kernels, BatchNorm
+with running stats stored like torch (``running_mean`` / ``running_var``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+BN_MOMENTUM = 0.1
+
+
+class ParamStore:
+    """Flat param dict access with optional create-on-first-use init mode."""
+
+    def __init__(
+        self,
+        params: Optional[Dict[str, Array]] = None,
+        rng: Optional[np.random.Generator] = None,
+        init: bool = False,
+        dtype=jnp.float32,
+    ):
+        self.params: Dict[str, Array] = params if params is not None else {}
+        self.rng = rng or np.random.default_rng(0)
+        self.init = init
+        self.dtype = dtype
+        # batch-stat updates collected during a train-mode forward
+        self.stat_updates: Dict[str, Array] = {}
+
+    def get(self, name: str, shape: Tuple[int, ...],
+            initializer: str = "zeros") -> Array:
+        if name not in self.params:
+            if not self.init:
+                raise KeyError(f"Missing parameter: {name}")
+            if initializer == "conv_normal":
+                # Reference init: normal(std=0.001) (hrnet.py init_weights).
+                arr = self.rng.normal(size=shape) * 0.001
+            elif initializer == "kaiming":
+                fan_in = int(np.prod(shape[:-1]))
+                arr = self.rng.normal(size=shape) * np.sqrt(2.0 / fan_in)
+            elif initializer == "ones":
+                arr = np.ones(shape)
+            else:
+                arr = np.zeros(shape)
+            self.params[name] = jnp.asarray(arr, dtype=self.dtype)
+        return self.params[name]
+
+
+def conv2d(
+    store: ParamStore,
+    name: str,
+    x: Array,
+    out_ch: int,
+    kernel: int,
+    stride: int = 1,
+    padding: int = 0,
+    bias: bool = False,
+    initializer: str = "conv_normal",
+) -> Array:
+    """NHWC conv with torch-style explicit padding."""
+    in_ch = x.shape[-1]
+    w = store.get(f"{name}.weight", (kernel, kernel, in_ch, out_ch),
+                  initializer)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias:
+        b = store.get(f"{name}.bias", (out_ch,), "zeros")
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def batch_norm(
+    store: ParamStore,
+    name: str,
+    x: Array,
+    train: bool = False,
+    eps: float = 1e-5,
+    momentum: float = BN_MOMENTUM,
+    axis_name: Optional[str] = None,
+) -> Array:
+    """BatchNorm2d matching torch semantics.
+
+    In train mode, batch statistics are used and running-stat updates are
+    recorded in ``store.stat_updates``. With ``axis_name`` set (SyncBN
+    equivalent, reference evaluate.py:100-105), the batch moments are
+    ``lax.pmean``-ed over that mesh axis.
+    """
+    c = x.shape[-1]
+    gamma = store.get(f"{name}.weight", (c,), "ones")
+    beta = store.get(f"{name}.bias", (c,), "zeros")
+    rmean = store.get(f"{name}.running_mean", (c,), "zeros")
+    rvar = store.get(f"{name}.running_var", (c,), "ones")
+
+    if train:
+        reduce_axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=reduce_axes)
+        var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            var = jax.lax.pmean(var, axis_name)
+        n = np.prod([x.shape[a] for a in reduce_axes])
+        unbiased = var * (n / max(n - 1, 1))
+        store.stat_updates[f"{name}.running_mean"] = (
+            (1 - momentum) * rmean + momentum * mean.astype(rmean.dtype)
+        )
+        store.stat_updates[f"{name}.running_var"] = (
+            (1 - momentum) * rvar + momentum * unbiased.astype(rvar.dtype)
+        )
+    else:
+        mean, var = rmean, rvar
+
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * inv * gamma.astype(x.dtype) \
+        + beta.astype(x.dtype)
+
+
+def conv_bn_relu(store, name_conv, name_bn, x, out_ch, kernel, stride,
+                 padding, train, relu=True, axis_name=None):
+    y = conv2d(store, name_conv, x, out_ch, kernel, stride, padding)
+    y = batch_norm(store, name_bn, y, train, axis_name=axis_name)
+    return jax.nn.relu(y) if relu else y
+
+
+def basic_block(store: ParamStore, prefix: str, x: Array, planes: int,
+                stride: int = 1, downsample: bool = False,
+                train: bool = False, axis_name=None) -> Array:
+    """torchvision BasicBlock: 3x3(stride)-BN-ReLU-3x3-BN + skip -> ReLU."""
+    identity = x
+    y = conv_bn_relu(store, f"{prefix}.conv1", f"{prefix}.bn1", x, planes,
+                     3, stride, 1, train, axis_name=axis_name)
+    y = conv_bn_relu(store, f"{prefix}.conv2", f"{prefix}.bn2", y, planes,
+                     3, 1, 1, train, relu=False, axis_name=axis_name)
+    if downsample:
+        identity = conv2d(store, f"{prefix}.downsample.0", x, planes, 1,
+                          stride, 0)
+        identity = batch_norm(store, f"{prefix}.downsample.1", identity,
+                              train, axis_name=axis_name)
+    return jax.nn.relu(y + identity)
+
+
+def bottleneck_block(store: ParamStore, prefix: str, x: Array, planes: int,
+                     stride: int = 1, downsample: bool = False,
+                     train: bool = False, downsample_has_bn: bool = True,
+                     axis_name=None) -> Array:
+    """torchvision Bottleneck: 1x1-BN-ReLU-3x3(stride)-BN-ReLU-1x1(x4)-BN
+    + skip -> ReLU. ``downsample_has_bn=False`` covers the reference's
+    final conv head, whose downsample is a bare 1x1 conv
+    (hrnet.py:363-372)."""
+    identity = x
+    out_ch = planes * 4
+    y = conv_bn_relu(store, f"{prefix}.conv1", f"{prefix}.bn1", x, planes,
+                     1, 1, 0, train, axis_name=axis_name)
+    y = conv_bn_relu(store, f"{prefix}.conv2", f"{prefix}.bn2", y, planes,
+                     3, stride, 1, train, axis_name=axis_name)
+    y = conv_bn_relu(store, f"{prefix}.conv3", f"{prefix}.bn3", y, out_ch,
+                     1, 1, 0, train, relu=False, axis_name=axis_name)
+    if downsample:
+        if downsample_has_bn:
+            identity = conv2d(store, f"{prefix}.downsample.0", x, out_ch, 1,
+                              stride, 0)
+            identity = batch_norm(store, f"{prefix}.downsample.1", identity,
+                                  train, axis_name=axis_name)
+        else:
+            identity = conv2d(store, f"{prefix}.downsample", x, out_ch, 1,
+                              stride, 0)
+    return jax.nn.relu(y + identity)
+
+
+def nearest_upsample(x: Array, factor: int) -> Array:
+    """Nearest-neighbour upsample (torch nn.Upsample(mode='nearest'))."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (B, H, factor, W, factor, C)
+    )
+    return x.reshape(B, H * factor, W * factor, C)

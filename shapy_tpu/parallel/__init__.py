@@ -1,0 +1,8 @@
+from shapy_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_params,
+    shard_batch,
+    initialize_distributed,
+)

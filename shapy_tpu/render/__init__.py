@@ -1,0 +1,6 @@
+from shapy_tpu.render.rasterizer import (  # noqa: F401
+    render_mesh_overlay,
+    rasterize_mesh,
+    weak_persp_to_blender,
+)
+from shapy_tpu.render.ply import save_ply  # noqa: F401

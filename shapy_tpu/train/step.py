@@ -1,0 +1,161 @@
+"""Optimizer construction and the pjit-able training step.
+
+Behavioural spec: reference ``regressor/human_shape/optimizers/
+build.py:14-86`` (Adam/SGD + multi-step/exponential LR schedules). The
+training loop itself is new capability — the reference ships the losses,
+optimizers and samplers but no public train entry point (SURVEY §1 layer
+3.7); here the train step is a single pure function jitted over the mesh:
+
+  state, metrics = train_step(state, batch, rng)
+
+with the batch sharded over the 'data' axis and parameters FSDP-sharded
+over 'model' (see :mod:`shapy_tpu.parallel.mesh`). Gradient averaging and
+SyncBN fall out of GSPMD — no explicit collectives.
+
+BatchNorm running statistics are part of ``state.params['backbone']`` and
+are updated functionally from the forward pass's stat updates (torch
+mutates module buffers; here the updates flow through the state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@chex.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransformation:
+    """Adam / SGD + multi-step or exponential schedule
+    (optimizers/build.py:14-86)."""
+    cfg = dict(optim_cfg or {})
+    lr = float(cfg.get("lr", 1e-4))
+    weight_decay = float(cfg.get("weight_decay", 0.0))
+    sched_cfg = dict(cfg.get("scheduler") or {})
+    sched_type = sched_cfg.get("type", "none")
+
+    if sched_type == "multi-step-lr":
+        gamma = float(sched_cfg.get("gamma", 0.1))
+        milestones = list(sched_cfg.get("milestones", []))
+        schedule = optax.piecewise_constant_schedule(
+            lr, {int(m): gamma for m in milestones}
+        )
+    elif sched_type in ("exp", "exponential"):
+        schedule = optax.exponential_decay(
+            lr, int(sched_cfg.get("decay_steps", 1000)),
+            float(sched_cfg.get("gamma", 0.99)),
+        )
+    else:
+        schedule = lr
+
+    opt_type = cfg.get("type", "adam")
+    if opt_type == "adam":
+        adam_cfg = dict(cfg.get("adam") or {})
+        betas = adam_cfg.get("betas", (0.9, 0.999))
+        if weight_decay > 0:
+            tx = optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                             weight_decay=weight_decay)
+        else:
+            tx = optax.adam(schedule, b1=betas[0], b2=betas[1])
+    elif opt_type == "sgd":
+        sgd_cfg = dict(cfg.get("sgd") or {})
+        tx = optax.sgd(schedule, momentum=float(sgd_cfg.get("momentum", 0.9)))
+        if weight_decay > 0:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    else:
+        raise ValueError(f"Unknown optimizer type: {opt_type}")
+    return tx
+
+
+def is_batch_stat(path_str: str) -> bool:
+    return path_str.endswith("running_mean") or path_str.endswith(
+        "running_var"
+    )
+
+
+def make_train_step(
+    regressor,
+    losses,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Build the pure train-step function.
+
+    The returned function has signature
+    ``(state, images, batch, rng) -> (state, metrics)`` and is safe to jit
+    (optionally with in/out shardings).
+    """
+    def step(state: TrainState, images, batch, rng
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def compute(params):
+            out, stat_updates = forward_with_stats(
+                regressor, params, images, batch, rng
+            )
+            loss_dict = losses(out, batch)
+            return loss_dict["total"], (loss_dict, stat_updates)
+
+        grads, (loss_dict, stat_updates) = jax.grad(
+            compute, has_aux=True
+        )(state.params)
+
+        # Do not apply gradient updates to BN running stats; they are
+        # replaced by the forward pass's own updates.
+        def zero_stats(path, g):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return jnp.zeros_like(g) if is_batch_stat(str(name)) else g
+
+        grads = jax.tree_util.tree_map_with_path(zero_stats, grads)
+
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        backbone = dict(new_params["backbone"])
+        backbone.update(stat_updates)
+        new_params = {**new_params, "backbone": backbone}
+
+        metrics = {k: v for k, v in loss_dict.items()}
+        return (
+            TrainState(
+                params=new_params,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def forward_with_stats(regressor, params, images, batch, rng):
+    """Run the regressor forward in train mode, returning (out,
+    batch-stat updates) functionally."""
+    from shapy_tpu.models.backbones.layers import ParamStore
+
+    store = ParamStore(dict(params["backbone"]))
+    # compute_features consults the store when provided
+    out = regressor.apply(
+        {**params, "backbone": store.params},
+        images,
+        batch=batch,
+        train=True,
+        rng=rng,
+        backbone_store=store,
+    )
+    return out, store.stat_updates
+
+
+def init_train_state(regressor, tx) -> TrainState:
+    return TrainState(
+        params=regressor.params,
+        opt_state=tx.init(regressor.params),
+        step=jnp.asarray(0, jnp.int32),
+    )

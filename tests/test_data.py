@@ -1,0 +1,159 @@
+import os
+
+import numpy as np
+import pytest
+
+from shapy_tpu.data import keypoints as K
+from shapy_tpu.data.bbox import bbox_to_center_scale, keyps_to_bbox
+from shapy_tpu.data.crop import (
+    crop_image,
+    crop_to_image_affine,
+    image_to_crop_affine,
+    transform_points,
+)
+from shapy_tpu.data.openpose import read_openpose_json
+from shapy_tpu.data.transforms import build_transforms
+
+SAMPLES = "/root/reference/samples"
+
+
+def test_keypoint_format_lengths():
+    assert len(K.SMPL_NAMES) == 24
+    assert len(K.SMPLH_NAMES) == 52
+    # 55 joints + 51 landmarks + 17 contour
+    assert len(K.SMPLX_NAMES) == 123
+    assert len(K.OPENPOSE25_NAMES) == 135
+    assert len(K.OPENPOSE19_NAMES) == 129
+    # contour-free variant
+    assert len(K.model_keypoint_names("smplx", use_face_contour=False)) == 106
+
+
+def test_keypoint_names_spotcheck():
+    assert K.SMPLX_NAMES[22] == "jaw"
+    assert K.SMPLX_NAMES[25] == "left_index1"
+    assert K.SMPLX_NAMES[55] == "right_eye_brow1"
+    assert K.OPENPOSE25_NAMES[0] == "nose"
+    assert K.OPENPOSE25_NAMES[8] == "pelvis"
+    assert K.OPENPOSE25_NAMES[19] == "left_big_toe"
+    assert K.OPENPOSE25_NAMES[25] == "left_wrist"
+    assert K.OPENPOSE25_NAMES[-1] == "right_lip_3"
+
+
+def test_mapping_openpose_to_smplx():
+    src_idx, dst_idx = K.keypoint_mapping("openpose25_v1", "smplx")
+    # Every mapped name must match
+    for s, d in zip(src_idx, dst_idx):
+        assert K.OPENPOSE25_NAMES[s] == K.SMPLX_NAMES[d]
+    # Common body joints are present
+    mapped_names = {K.SMPLX_NAMES[d] for d in dst_idx}
+    for name in ("pelvis", "left_wrist", "nose_middle", "left_contour_3"):
+        assert name in mapped_names
+
+
+def test_flip_permutation_involution():
+    perm = K.flip_permutation("openpose25_v1")
+    np.testing.assert_array_equal(perm[perm], np.arange(len(perm)))
+    names = K.OPENPOSE25_NAMES
+    i = names.index("left_wrist")
+    assert names[perm[i]] == "right_wrist"
+
+
+def test_part_idxs():
+    parts = K.get_part_idxs("openpose25_v1")
+    names = K.OPENPOSE25_NAMES
+    for i in parts["left_hand"]:
+        assert names[i].startswith("left")
+    # 68 facial points + the neck (reference KEYPOINT_PARTS assigns neck
+    # to the face part as well, keypoint_names.py:34)
+    assert len(parts["face"]) == 69
+    assert len(parts["body"]) > 20
+
+
+def test_bbox_roundtrip():
+    kp = np.asarray([[10.0, 20], [110, 220], [60, 120], [30, 40],
+                     [50, 60], [70, 80]])
+    conf = np.ones(6)
+    bbox = keyps_to_bbox(kp, conf)
+    center, scale, size = bbox_to_center_scale(bbox)
+    np.testing.assert_allclose(center, [60, 120])
+    assert size == pytest.approx(200.0)
+    assert scale == pytest.approx(1.0)
+
+
+def test_crop_affine_consistency():
+    A = crop_to_image_affine([128, 90], 1.5, (256, 256))
+    Ainv = image_to_crop_affine([128, 90], 1.5, (256, 256))
+    np.testing.assert_allclose(A @ Ainv, np.eye(3), atol=1e-9)
+    # centre of crop maps to the bbox centre
+    c = transform_points(np.asarray([[128.0, 128.0]]), A)
+    np.testing.assert_allclose(c[0], [128, 90], atol=1e-6)
+
+
+def test_crop_image_contents():
+    img = np.zeros((100, 120, 3), np.float32)
+    img[40:60, 50:70] = 1.0  # white square centred at (60, 50)
+    out = crop_image(img, [60, 50], 0.2, (64, 64))  # 40px crop
+    # centre should be white, corners dark
+    assert out[32, 32, 0] > 0.9
+    assert out[2, 2, 0] < 0.1
+
+
+@pytest.mark.skipif(not os.path.exists(SAMPLES), reason="no samples")
+def test_read_reference_openpose_sample():
+    kps = read_openpose_json(os.path.join(SAMPLES, "openpose",
+                                          "img_00.json"))
+    assert kps is not None
+    assert kps.shape[1:] == (135, 3)
+
+
+@pytest.mark.skipif(not os.path.exists(SAMPLES), reason="no samples")
+def test_openpose_dataset_end_to_end():
+    from shapy_tpu.data.datasets import OpenPoseDataset
+
+    tf = build_transforms({"crop_size": 256}, is_train=False,
+                          return_full_imgs=True)
+    ds = OpenPoseDataset(
+        data_folder=SAMPLES, img_folder="images", keyp_folder="openpose",
+        transforms=tf,
+    )
+    assert len(ds) >= 4
+    sample = ds[0]
+    assert sample["cropped_image"].shape == (256, 256, 3)
+    # normalised image: roughly zero-mean
+    assert abs(float(sample["cropped_image"].mean())) < 3.0
+    kp = sample["cropped_keypoints2d"]
+    valid = kp[kp[:, 2] > 0]
+    # valid keypoints should mostly land inside the crop
+    frac_inside = np.mean(
+        (valid[:, 0] > -20) & (valid[:, 0] < 276)
+        & (valid[:, 1] > -20) & (valid[:, 1] < 276)
+    )
+    assert frac_inside > 0.9
+
+
+def test_train_transforms_run():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(300, 400, 3)).astype(np.float32)
+    kp = np.zeros((135, 3), np.float32)
+    kp[:25, 0] = rng.uniform(100, 300, 25)
+    kp[:25, 1] = rng.uniform(50, 250, 25)
+    kp[:25, 2] = 1.0
+    tf = build_transforms(
+        {
+            "crop_size": 128, "flip_prob": 0.5, "scale_factor": 0.25,
+            "rotation_factor": 30.0, "noise_scale": 0.2,
+            "center_jitter_factor": 0.1, "extreme_crop_prob": 0.3,
+            "motion_blur_prob": 0.5,
+        },
+        is_train=True,
+    )
+    for seed in range(5):
+        sample = {
+            "image": img.copy(),
+            "keypoints2d": kp.copy(),
+            "center": np.asarray([200.0, 150.0]),
+            "scale": 1.2,
+        }
+        out = tf(sample, np.random.default_rng(seed))
+        assert out["cropped_image"].shape == (128, 128, 3)
+        assert np.isfinite(out["cropped_image"]).all()

@@ -1,0 +1,141 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+from shapy_tpu.models.body import SMPLX
+from shapy_tpu.models.heads import SMPLXRegressor
+
+
+@pytest.fixture(scope="module")
+def regressor(smplx_data_module):
+    smplx_data = smplx_data_module
+    model = SMPLX(model_data=smplx_data)
+    anchors = MeasurementAnchors.synthetic(
+        model.faces, np.asarray(model.params["v_template"])
+    )
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=128)
+    reg = SMPLXRegressor(
+        body_model_cfg={
+            "smplx": {
+                "global_rot": {"param_type": "cont_rot_repr"},
+                "body_pose": {"param_type": "cont_rot_repr"},
+            }
+        },
+        network_cfg={
+            "num_stages": 3,
+            "pose_last_stage": True,
+            "predict_hands": False,
+            "predict_face": False,
+            "mlp": {"layers": [64, 64], "dropout": 0.5},
+            "camera": {"type": "weak-persp", "pos_func": "softplus"},
+        },
+        body_model=model,
+        measurements=meas,
+    )
+    return reg
+
+
+@pytest.fixture(scope="module")
+def smplx_data_module():
+    from shapy_tpu.models.body import make_synthetic_model_data
+
+    return make_synthetic_model_data("smplx", subdivisions=2, seed=0)
+
+
+def test_param_layout(regressor):
+    # global_rot 6 + body_pose 126 + betas 10 + camera 3
+    assert regressor.param_dim == 145
+    assert list(regressor.param_slices) == [
+        "global_rot", "body_pose", "betas", "camera",
+    ]
+    assert regressor.param_slices["camera"] == slice(142, 145)
+    # global-rot mean decodes to the 180deg-x flip
+    mean = np.asarray(regressor.params["param_mean"])[0]
+    R = np.asarray(
+        regressor.spaces["global_rot"].decoder(
+            jnp.asarray(mean[None, :6]))
+    )[0, 0]
+    np.testing.assert_allclose(R, np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+
+
+def test_forward_end_to_end(regressor):
+    B = 2
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, size=(B, 64, 64, 3)),
+        jnp.float32,
+    )
+    out = regressor(images)
+    last = out["stage_02"]
+    assert last["vertices"].shape == (B, regressor.model.num_verts, 3)
+    assert last["betas"].shape == (B, 10)
+    assert last["body_pose"].shape == (B, 21, 3, 3)
+    assert out["proj_joints"].shape[0] == B
+    assert out["proj_joints"].shape[-1] == 2
+    assert set(out["measurements"]) == {
+        "mass", "height", "chest", "waist", "hips"
+    }
+    # camera scale positive (softplus)
+    assert float(out["camera_parameters"]["scale"].min()) > 0
+    # stages exist, earlier stages have raw params only
+    assert "betas" in out["stage_00"]
+    assert np.isfinite(np.asarray(last["vertices"])).all()
+
+
+def test_forward_jits_and_differentiates(regressor):
+    images = jnp.zeros((1, 64, 64, 3))
+
+    @jax.jit
+    def loss_fn(params, imgs):
+        out = regressor.apply(params, imgs)
+        return (
+            jnp.sum(out["stage_02"]["vertices"] ** 2) * 1e-6
+            + jnp.sum(out["measurements"]["chest"])
+        )
+
+    g = jax.grad(loss_fn)(regressor.params, images)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_b2a_plugin_gender_routing(regressor, smplx_data_module):
+    from shapy_tpu.models.attributes.polynomial import Polynomial
+
+    male = Polynomial(10, 15, degree=2)
+    male.params = {
+        "weight": jnp.ones_like(male.params["weight"]),
+        "bias": jnp.zeros_like(male.params["bias"]),
+    }
+    female = Polynomial(10, 15, degree=2)
+    female.params = {
+        "weight": -jnp.ones_like(female.params["weight"]),
+        "bias": jnp.zeros_like(female.params["bias"]),
+    }
+    regressor.b2a_models = {"male": male, "female": female}
+    images = jnp.zeros((3, 64, 64, 3))
+    batch = {"gender": jnp.asarray([1, 2, 0])}
+    out = regressor(images, batch=batch)
+    attrs = np.asarray(out["attributes"])
+    assert attrs.shape == (3, 15)
+    # male and female outputs have opposite signs; neutral is zero
+    np.testing.assert_allclose(attrs[0], -attrs[1], atol=1e-5)
+    np.testing.assert_allclose(attrs[2], 0.0, atol=1e-7)
+    regressor.b2a_models = {}
+
+
+def test_train_mode_dropout(regressor):
+    images = jnp.zeros((1, 64, 64, 3))
+    out1 = regressor.apply(
+        regressor.params, images, train=True, rng=jax.random.PRNGKey(0)
+    )
+    out2 = regressor.apply(
+        regressor.params, images, train=True, rng=jax.random.PRNGKey(1)
+    )
+    # different dropout masks -> different params
+    assert not np.allclose(
+        np.asarray(out1["stage_02"]["betas"]),
+        np.asarray(out2["stage_02"]["betas"]),
+    )

@@ -1,0 +1,186 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shapy_tpu.losses.priors import GenderShapePrior, NormalShapePrior
+from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+from shapy_tpu.models.heads import SMPLXRegressor
+from shapy_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+from shapy_tpu.train import (
+    RegressorLosses,
+    TrainState,
+    build_optimizer,
+    make_train_step,
+)
+from shapy_tpu.train.step import forward_with_stats, init_train_state
+
+
+@pytest.fixture(scope="module")
+def tiny_regressor():
+    model = SMPLX(
+        model_data=make_synthetic_model_data("smplx", subdivisions=1)
+    )
+    return SMPLXRegressor(
+        body_model_cfg={
+            "smplx": {
+                "global_rot": {"param_type": "cont_rot_repr"},
+                "body_pose": {"param_type": "cont_rot_repr"},
+            }
+        },
+        network_cfg={
+            "num_stages": 2,
+            "predict_hands": False,
+            "predict_face": False,
+            "backbone": {"type": "resnet", "depth": 18},
+            "mlp": {"layers": [32], "dropout": 0.0},
+        },
+        body_model=model,
+    )
+
+
+def make_batch(B, n_joints=106):
+    rng = np.random.default_rng(0)
+    kp = np.zeros((B, n_joints, 3), np.float32)
+    kp[:, :25, :2] = rng.uniform(-1, 1, size=(B, 25, 2))
+    kp[:, :25, 2] = 1.0
+    prior = GenderShapePrior(
+        female_prior=NormalShapePrior(
+            mean=np.zeros(10), covariance=np.eye(10)),
+        male_prior=NormalShapePrior(
+            mean=np.zeros(10), covariance=np.eye(10) * 2),
+    )
+    batch = {
+        "target_keypoints2d": jnp.asarray(kp),
+        "gender": jnp.asarray(rng.integers(0, 3, size=B)),
+        "gt_betas": jnp.asarray(
+            rng.normal(size=(B, 10)).astype(np.float32)),
+        "height": jnp.asarray(
+            rng.uniform(1.5, 1.9, size=B).astype(np.float32)),
+        "height_valid": jnp.ones((B,), jnp.float32),
+    }
+    return batch, prior
+
+
+def test_losses_compute(tiny_regressor):
+    B = 2
+    batch, prior = make_batch(B)
+    out = tiny_regressor(jnp.zeros((B, 64, 64, 3)), batch=batch)
+    losses = RegressorLosses(
+        {
+            "body": {
+                "body_joints_2d": {"weight": 1.0},
+                "shape": {"weight": 1e-3,
+                          "prior": {"weight": 1e-2}},
+                "stages_to_penalize": ["stage_01"],
+            }
+        },
+        gender_shape_prior=prior,
+    )(out, batch)
+    assert "joints2d" in losses and "shape" in losses
+    assert "shape_prior" in losses
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_train_step_reduces_loss(tiny_regressor):
+    B = 4
+    batch, prior = make_batch(B)
+    images = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, 64, 64, 3)), jnp.float32
+    )
+    losses = RegressorLosses(
+        {"body": {"body_joints_2d": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}},
+    )
+    tx = build_optimizer({"type": "adam", "lr": 1e-3})
+    state = init_train_state(tiny_regressor, tx)
+    step = jax.jit(make_train_step(tiny_regressor, losses, tx))
+
+    metrics0 = None
+    rng = jax.random.PRNGKey(0)
+    for i in range(5):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, images, batch, sub)
+        if metrics0 is None:
+            metrics0 = metrics
+    assert float(metrics["total"]) < float(metrics0["total"])
+    assert int(state.step) == 5
+
+
+def test_bn_stats_update_in_step(tiny_regressor):
+    B = 2
+    batch, _ = make_batch(B)
+    images = jnp.asarray(
+        np.random.default_rng(2).normal(size=(B, 64, 64, 3)), jnp.float32
+    )
+    out, stats = forward_with_stats(
+        tiny_regressor, tiny_regressor.params, images, batch,
+        jax.random.PRNGKey(0),
+    )
+    assert len(stats) > 0
+    before = np.asarray(tiny_regressor.params["backbone"]["bn1.running_mean"])
+    after = np.asarray(stats["bn1.running_mean"])
+    assert not np.allclose(before, after)
+
+
+def test_multichip_sharded_train_step(tiny_regressor):
+    """Data-parallel + FSDP sharding on the virtual 8-device CPU mesh."""
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    mesh = make_mesh(data=4, model=2)
+    B = 8
+    batch, _ = make_batch(B)
+    images = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, 64, 64, 3)), jnp.float32
+    )
+    losses = RegressorLosses(
+        {"body": {"body_joints_2d": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}},
+    )
+    tx = build_optimizer({"type": "adam", "lr": 1e-3})
+    state = init_train_state(tiny_regressor, tx)
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        sharded_params = shard_params(state.params, mesh)
+        state = TrainState(
+            params=sharded_params,
+            opt_state=tx.init(sharded_params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        images_s = shard_batch(images, mesh)
+        batch_s = shard_batch(batch, mesh)
+        step = jax.jit(make_train_step(tiny_regressor, losses, tx))
+        state, metrics = step(state, images_s, batch_s,
+                              jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+
+    # Sharded result matches the single-device result
+    state2 = init_train_state(tiny_regressor, tx)
+    step2 = jax.jit(make_train_step(tiny_regressor, losses, tx))
+    _, metrics2 = step2(state2, images, batch, jax.random.PRNGKey(0))
+    assert float(metrics["total"]) == pytest.approx(
+        float(metrics2["total"]), rel=1e-4
+    )
+
+
+def test_optimizer_schedules():
+    tx = build_optimizer(
+        {"type": "adam", "lr": 1e-4, "weight_decay": 1e-4,
+         "scheduler": {"type": "multi-step-lr", "gamma": 0.1,
+                       "milestones": [60, 100]}}
+    )
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    updates, state = tx.update(g, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    tx2 = build_optimizer({"type": "sgd", "lr": 1e-2})
+    state2 = tx2.init(params)
+    u2, _ = tx2.update(g, state2, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]), -1e-2, rtol=1e-5)

@@ -1,0 +1,160 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shapy_tpu.models.backbones.hrnet import hrnet_forward, hrnet_init
+from shapy_tpu.models.backbones.layers import ParamStore, batch_norm
+from shapy_tpu.models.backbones.hrnet_import import import_hrnet_state_dict
+from shapy_tpu.models.backbones.resnet import resnet_forward, resnet_init
+from shapy_tpu.models.cameras import build_cam_proj, WeakPerspectiveCamera
+from shapy_tpu.models.heads.mlp import mlp_forward, mlp_init
+from shapy_tpu.models.heads.pose_space import (
+    build_pose_parameterization,
+    global_rot_mean_flipped,
+)
+
+
+@pytest.fixture(scope="module")
+def hrnet_params():
+    return hrnet_init(seed=0)
+
+
+def test_hrnet_shapes_and_param_count(hrnet_params):
+    n_params = sum(int(np.prod(v.shape)) for v in hrnet_params.values())
+    # HRNet-W48 + ExPose head is ~70-80M params
+    assert 60e6 < n_params < 120e6
+    out = hrnet_forward(hrnet_params, jnp.zeros((2, 64, 64, 3)),
+                        return_stages=True)
+    assert out["concat"].shape == (2, 2048)
+    assert out["layer1"].shape == (2, 16, 16, 48)
+    assert out["layer4"].shape == (2, 2, 2, 384)
+
+
+def test_hrnet_jit_and_batch_independence(hrnet_params):
+    fwd = jax.jit(lambda p, x: hrnet_forward(p, x)["concat"])
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    out = fwd(hrnet_params, x)
+    out_flip = fwd(hrnet_params, x[::-1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_flip[::-1]),
+                               atol=2e-4)
+
+
+def test_hrnet_torch_roundtrip(hrnet_params):
+    """Simulate a torch state dict (OIHW) and re-import it."""
+    torch_sd = {}
+    for k, v in hrnet_params.items():
+        arr = np.asarray(v)
+        if k.endswith(".weight") and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        torch_sd[k] = arr
+    torch_sd["bn1.num_batches_tracked"] = np.asarray(0)
+    imported = import_hrnet_state_dict(torch_sd)
+    assert set(imported) == set(hrnet_params)
+    for k in hrnet_params:
+        np.testing.assert_array_equal(np.asarray(imported[k]),
+                                      np.asarray(hrnet_params[k]))
+
+
+def test_hrnet_batchnorm_train_updates(hrnet_params):
+    store = ParamStore(dict(hrnet_params))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    hrnet_forward(store.params, x, train=True, _store=store)
+    assert len(store.stat_updates) > 0
+    assert any(k.endswith("running_mean") for k in store.stat_updates)
+
+
+def test_batch_norm_matches_torch_semantics():
+    import torch
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 8, 8, 6)).astype(np.float32)
+    bn = torch.nn.BatchNorm2d(6, momentum=0.1)
+    bn.weight.data = torch.tensor(rng.normal(size=6).astype(np.float32))
+    bn.bias.data = torch.tensor(rng.normal(size=6).astype(np.float32))
+    bn.running_mean.data = torch.tensor(
+        rng.normal(size=6).astype(np.float32))
+    bn.running_var.data = torch.tensor(
+        rng.uniform(0.5, 2, size=6).astype(np.float32))
+
+    # jnp.asarray on CPU may alias numpy views of torch buffers (zero-copy),
+    # and torch updates running stats in place — copy defensively.
+    params = {
+        "bn.weight": jnp.asarray(bn.weight.detach().numpy().copy()),
+        "bn.bias": jnp.asarray(bn.bias.detach().numpy().copy()),
+        "bn.running_mean": jnp.asarray(bn.running_mean.numpy().copy()),
+        "bn.running_var": jnp.asarray(bn.running_var.numpy().copy()),
+    }
+    store = ParamStore(params)
+
+    # Eval mode
+    bn.eval()
+    ref = bn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    ours = batch_norm(store, "bn", jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
+                               atol=1e-5)
+
+    # Train mode: outputs + running-stat updates
+    bn.train()
+    ref_t = bn(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    ours_t = batch_norm(store, "bn", jnp.asarray(x), train=True)
+    np.testing.assert_allclose(np.asarray(ours_t), ref_t.detach().numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(store.stat_updates["bn.running_mean"]),
+        bn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(store.stat_updates["bn.running_var"]),
+        bn.running_var.numpy(), atol=1e-4)
+
+
+def test_resnet50(capsys):
+    params = resnet_init(50, seed=0)
+    out = resnet_forward(params, jnp.zeros((1, 64, 64, 3)), depth=50)
+    assert out["avg_pooling"].shape == (1, 2048)
+
+
+def test_weak_persp_camera():
+    cam = WeakPerspectiveCamera()
+    pts = jnp.asarray([[[1.0, 2.0, 3.0]]])
+    scale = jnp.asarray([[2.0]])
+    transl = jnp.asarray([[0.5, -0.5]])
+    # scale AFTER translation add (reference default)
+    np.testing.assert_allclose(
+        np.asarray(cam(pts, scale, transl))[0, 0], [3.0, 3.0], atol=1e-6
+    )
+    cam_sf = WeakPerspectiveCamera(scale_first=True)
+    np.testing.assert_allclose(
+        np.asarray(cam_sf(pts, scale, transl))[0, 0], [2.5, 3.5], atol=1e-6
+    )
+
+
+def test_cam_proj_mean_softplus():
+    data = build_cam_proj({"type": "weak-persp", "pos_func": "softplus"})
+    # softplus(mean) == 0.9
+    assert float(jax.nn.softplus(jnp.asarray(data["mean"][0]))) == \
+        pytest.approx(0.9, abs=1e-5)
+    assert data["dim"] == 3
+
+
+def test_pose_space_6d_identity_and_flip():
+    space = build_pose_parameterization(21, "cont_rot_repr")
+    assert space.dim == 126
+    mats = space.decoder(jnp.asarray(space.mean)[None])
+    np.testing.assert_allclose(
+        np.asarray(mats[0]), np.broadcast_to(np.eye(3), (21, 3, 3)),
+        atol=1e-6)
+    g = build_pose_parameterization(1, "cont_rot_repr")
+    flipped = global_rot_mean_flipped(g)
+    R = np.asarray(g.decoder(jnp.asarray(flipped)[None]))[0, 0]
+    np.testing.assert_allclose(R, np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+
+
+def test_mlp_head():
+    params = mlp_init(32, 8, (16, 16), seed=0)
+    out = mlp_forward(params, jnp.ones((4, 32)), 2)
+    assert out.shape == (4, 8)
+    # output layer gain keeps outputs small
+    assert float(jnp.abs(out).max()) < 1.0
