@@ -1,0 +1,324 @@
+"""Dataset registry, batch collation, and the data-loader factory.
+
+Behavioural spec: reference ``regressor/human_shape/data/build.py:98-398``:
+a dataset registry, ``build_all_data_loaders`` splitting the global batch
+size between the pose and shape streams by ``pose_shape_ratio``
+(:333-341), per-part transforms, and a collate returning
+``(full_imgs, cropped_imgs, targets)``.
+
+TPU-first collation: targets become ONE dict of fixed-shape arrays
+(pad-and-mask) with dataset keypoints remapped by name into the model's
+keypoint order on the host — so the batch crosses into jit-land as plain
+arrays and every downstream op is shape-static. The loader itself is a
+thread-pool prefetcher (image decode + warp are cv2/numpy releasing the
+GIL), replacing torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from shapy_tpu.data.keypoints import (
+    KEYPOINT_NAMES_DICT,
+    mapping_between,
+)
+from shapy_tpu.data.samplers import EqualSampler, ShapeSampler
+from shapy_tpu.data.transforms import build_transforms
+
+DATASET_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_dataset(name: str):
+    def deco(cls):
+        DATASET_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def _populate_registry() -> None:
+    from shapy_tpu.data.datasets.hbw import HBWDataset
+    from shapy_tpu.data.datasets.model_agencies import ModelAgencyDataset
+    from shapy_tpu.data.datasets.openpose import OpenPoseDataset
+    from shapy_tpu.data.datasets.ssp3d import SSP3DDataset
+    from shapy_tpu.data.datasets.threedpw import ThreeDPWDataset
+
+    DATASET_REGISTRY.update(
+        {
+            "openpose": OpenPoseDataset,
+            "hbw": HBWDataset,
+            "ssp3d": SSP3DDataset,
+            "model_agencies": ModelAgencyDataset,
+            "threedpw": ThreeDPWDataset,
+        }
+    )
+
+
+MEASUREMENT_TARGETS = ("height", "chest", "waist", "hips", "weight",
+                       "mass")
+
+
+def collate_batch(
+    samples: Sequence[Optional[Dict]],
+    target_keypoint_names: Optional[Sequence[str]] = None,
+    crop_size: int = 256,
+    num_betas: int = 10,
+    num_attributes: int = 15,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Stack sample dicts into fixed-shape arrays.
+
+    Keypoints are remapped from each sample's source format into
+    ``target_keypoint_names`` (the model's keypoint order) by name, so
+    the 2D loss compares like with like.
+    """
+    samples = [s for s in samples if s is not None]
+    if not samples:
+        return None
+    B = len(samples)
+    out: Dict[str, Any] = {}
+
+    out["images"] = np.stack([s["cropped_image"] for s in samples])
+    if "image" in samples[0]:
+        out["full_images"] = [s.get("image") for s in samples]
+    out["fnames"] = [s.get("fname", "") for s in samples]
+    out["genders"] = [str(s.get("gender", "neutral")) for s in samples]
+    out["gender"] = np.asarray(
+        [int(s.get("gender_int", 0)) for s in samples], np.int32
+    )
+    for key in ("orig_center", "center"):
+        if key in samples[0]:
+            out[key] = np.stack(
+                [np.asarray(s[key], np.float32) for s in samples]
+            )
+    for key in ("orig_bbox_size", "bbox_size", "scale"):
+        if key in samples[0]:
+            out[key] = np.asarray(
+                [np.float32(s[key]) for s in samples]
+            )
+
+    if target_keypoint_names is not None and "target_keypoints2d" in \
+            samples[0]:
+        n_t = len(target_keypoint_names)
+        stacked = np.zeros((B, n_t, 3), np.float32)
+        for i, s in enumerate(samples):
+            src_names = KEYPOINT_NAMES_DICT[s["keypoint_format"]]
+            src_idx, dst_idx = mapping_between(
+                src_names, tuple(target_keypoint_names)
+            )
+            kp = np.asarray(s["target_keypoints2d"], np.float32)
+            stacked[i, dst_idx] = kp[src_idx]
+        out["target_keypoints2d"] = stacked
+
+    if "gt_betas" in samples[0]:
+        betas = np.zeros((B, num_betas), np.float32)
+        valid = np.zeros((B,), np.float32)
+        for i, s in enumerate(samples):
+            if "gt_betas" in s:
+                b = np.asarray(s["gt_betas"], np.float32).reshape(-1)
+                betas[i, : min(num_betas, len(b))] = b[:num_betas]
+                valid[i] = 1.0
+        out["gt_betas"] = betas
+        out["gt_betas_valid"] = valid
+
+    if "gt_v_shaped" in samples[0]:
+        out["gt_v_shaped"] = np.stack(
+            [np.asarray(s["gt_v_shaped"], np.float32) for s in samples]
+        )
+
+    for key in MEASUREMENT_TARGETS:
+        if any(key in s for s in samples):
+            vals = np.zeros((B,), np.float32)
+            valid = np.zeros((B,), np.float32)
+            for i, s in enumerate(samples):
+                if key in s:
+                    vals[i] = np.float32(s[key])
+                    valid[i] = np.float32(s.get(f"{key}_valid", 1.0))
+            out[key] = vals
+            out[f"{key}_valid"] = valid
+        gt_key = f"{key}_gt"
+        if any(gt_key in s for s in samples):
+            out[gt_key] = np.asarray(
+                [np.float32(s.get(gt_key, 0.0)) for s in samples]
+            )
+
+    if any("attributes" in s for s in samples):
+        attrs = np.zeros((B, num_attributes), np.float32)
+        valid = np.zeros((B,), np.float32)
+        for i, s in enumerate(samples):
+            if "attributes" in s:
+                a = np.asarray(s["attributes"], np.float32).reshape(-1)
+                attrs[i, : min(num_attributes, len(a))] = a[:num_attributes]
+                valid[i] = 1.0
+        out["attributes"] = attrs
+        out["attributes_valid"] = valid
+    return out
+
+
+class DataLoader:
+    """Thread-pool prefetching loader over (dataset(s), batch sampler)."""
+
+    def __init__(
+        self,
+        datasets: Sequence,
+        batch_sampler,
+        collate_fn: Callable,
+        num_workers: int = 2,
+        prefetch: int = 2,
+    ):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+        self.batch_sampler = batch_sampler
+        self.collate_fn = collate_fn
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def _fetch(self, global_idx: int):
+        ds = int(np.searchsorted(self.offsets, global_idx, "right") - 1)
+        return self.datasets[ds][int(global_idx - self.offsets[ds])]
+
+    def __len__(self) -> int:
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: "queue.Queue" = queue.Queue()
+            sampler_iter = iter(self.batch_sampler)
+
+            def submit_next():
+                try:
+                    idxs = next(sampler_iter)
+                except StopIteration:
+                    return False
+                futures = [pool.submit(self._fetch, i) for i in idxs]
+                pending.put(futures)
+                return True
+
+            for _ in range(self.prefetch + 1):
+                if not submit_next():
+                    break
+            while not pending.empty():
+                futures = pending.get()
+                batch = self.collate_fn([f.result() for f in futures])
+                submit_next()
+                if batch is not None:
+                    yield batch
+
+
+class SequentialBatchSampler:
+    def __init__(self, length: int, batch_size: int,
+                 drop_last: bool = False):
+        self.length = length
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.length // self.batch_size
+        return (self.length + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        for start in range(0, self.length, self.batch_size):
+            idxs = np.arange(start, min(start + self.batch_size,
+                                        self.length))
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            yield idxs
+
+
+def build_dataset(name: str, dataset_cfg: Dict, split: str, transforms):
+    if not DATASET_REGISTRY:
+        _populate_registry()
+    if name not in DATASET_REGISTRY:
+        raise KeyError(f"Unknown dataset: {name}")
+    sub_cfg = dict(dataset_cfg.get(name) or {})
+    return DATASET_REGISTRY[name](
+        split=split, transforms=transforms, **sub_cfg
+    )
+
+
+def build_all_data_loaders(
+    exp_cfg: Dict,
+    split: str = "train",
+    target_keypoint_names: Optional[Sequence[str]] = None,
+    return_full_imgs: bool = False,
+    enable_augment: bool = True,
+) -> Dict[str, DataLoader]:
+    """Pose + shape loaders with the batch split by pose_shape_ratio
+    (reference data/build.py:306-398)."""
+    ds_cfg = dict(exp_cfg.get("datasets") or {})
+    batch_size = int(ds_cfg.get("batch_size", 32))
+    ratio = float(ds_cfg.get("pose_shape_ratio", 0.5))
+    is_train = split == "train"
+
+    part_batch = {
+        "pose": int(round(batch_size * ratio)),
+        "shape": batch_size - int(round(batch_size * ratio)),
+    }
+    loaders: Dict[str, DataLoader] = {}
+    for part in ("pose", "shape"):
+        part_cfg = dict(ds_cfg.get(part) or {})
+        splits_map = dict(part_cfg.get("splits") or {})
+        names = list(splits_map.get(split) or [])
+        if not names or part_batch[part] <= 0:
+            continue
+        transforms = build_transforms(
+            dict(part_cfg.get("transforms") or {}),
+            is_train=is_train,
+            enable_augment=enable_augment,
+            return_full_imgs=return_full_imgs,
+        )
+        datasets = [
+            build_dataset(n, part_cfg, split, transforms) for n in names
+        ]
+        datasets = [d for d in datasets if len(d) > 0]
+        if not datasets:
+            continue
+        sampler_cfg = dict(part_cfg.get("sampler") or {})
+        total = sum(len(d) for d in datasets)
+        if is_train and sampler_cfg.get("use_equal_sampling", True) \
+                and len(datasets) > 1:
+            sampler = EqualSampler(
+                datasets,
+                batch_size=part_batch[part],
+                ratio_2d=float(sampler_cfg.get("ratio_2d", 0.5)),
+                shuffle=True,
+            )
+        elif is_train and sampler_cfg.get("use_shape_sampling", False):
+            sampler = ShapeSampler(
+                datasets,
+                batch_size=part_batch[part],
+                importance_key=sampler_cfg.get("importance_key", "weight"),
+                shuffle=True,
+            )
+        else:
+            sampler = SequentialBatchSampler(
+                total, part_batch[part], drop_last=is_train
+            )
+
+        def make_collate():
+            return lambda samples: collate_batch(
+                samples,
+                target_keypoint_names=target_keypoint_names,
+                crop_size=int(
+                    dict(part_cfg.get("transforms") or {}).get(
+                        "crop_size", 256)
+                ),
+            )
+
+        loaders[part] = DataLoader(
+            datasets,
+            sampler,
+            make_collate(),
+            num_workers=int(
+                dict(part_cfg.get("num_workers") or {}).get(split, 2)
+                if isinstance(part_cfg.get("num_workers"), dict)
+                else part_cfg.get("num_workers", 2)
+            ),
+        )
+    return loaders

@@ -337,6 +337,20 @@ def flip_permutation(fmt: str) -> np.ndarray:
 # Cross-format remapping (reference map_keypoints, utils/keypoints.py:123+)
 
 
+def mapping_between(src_names: Sequence[str], dst_names: Sequence[str]
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Index arrays (src_idx, dst_idx) between two explicit name lists."""
+    src_index: Dict[str, int] = {}
+    for i, n in enumerate(src_names):
+        src_index.setdefault(n, i)
+    src_idx, dst_idx = [], []
+    for j, n in enumerate(dst_names):
+        if n in src_index:
+            src_idx.append(src_index[n])
+            dst_idx.append(j)
+    return np.asarray(src_idx, np.int64), np.asarray(dst_idx, np.int64)
+
+
 @lru_cache(maxsize=None)
 def keypoint_mapping(src: str, dst: str) -> Tuple[np.ndarray, np.ndarray]:
     """Index arrays (src_idx, dst_idx): dst[dst_idx] = src[src_idx] for

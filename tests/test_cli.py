@@ -1,0 +1,201 @@
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, env=None, timeout=400):
+    e = dict(os.environ)
+    e["PYTHONPATH"] = REPO
+    e["JAX_PLATFORMS"] = "cpu"
+    e["SHAPY_TPU_SYNTHETIC_BODY"] = "1"
+    e["SHAPY_TPU_TEST_SUBDIV"] = "2"
+    if env:
+        e.update(env)
+    return subprocess.run(
+        [sys.executable] + args, capture_output=True, text=True,
+        timeout=timeout, env=e, cwd=REPO,
+    )
+
+
+def test_fit_regression_train_and_eval(tmp_path):
+    from shapy_tpu.cli.fit_regression import main
+
+    cfg = {
+        "type": "b2a",
+        "use_synthetic_db": True,
+        "output_dir": str(tmp_path),
+        "ds_gender": "female",
+        "model_gender": "neutral",
+        "model_type": "smplx",
+        "num_shape_comps": 10,
+        "use_attributes": True,
+        "use_measurements": False,
+        "female_attributes": {
+            k: True for k in (
+                "big", "broad_shoulders", "feminine", "large_breasts",
+                "long_legs", "long_neck", "long_torso", "muscular",
+                "pear_shaped", "petite", "short", "short_arms",
+                "skinny_legs", "slim_waist", "tall",
+            )
+        },
+        "network": {"type": "polynomial",
+                    "polynomial": {"degree": 2, "alpha": 0.0}},
+    }
+    assert main(cfg, train=True) == 0
+    assert os.path.exists(os.path.join(str(tmp_path), "last.ckpt.npz"))
+    assert main(cfg, train=False) == 0
+
+
+def test_fit_regression_a2b_synthetic(tmp_path):
+    from shapy_tpu.cli.fit_regression import main
+
+    cfg = {
+        "type": "a2b",
+        "use_synthetic_db": True,
+        "output_dir": str(tmp_path),
+        "ds_gender": "female",
+        "model_gender": "neutral",
+        "model_type": "smplx",
+        "num_shape_comps": 10,
+        "bodytalk_meas_preprocess": True,
+        "regression": {"use_whw2s_setting": False},
+        "use_attributes": True,
+        "use_measurements": True,
+        "female_attributes": {
+            k: True for k in (
+                "big", "broad_shoulders", "feminine", "large_breasts",
+                "long_legs", "long_neck", "long_torso", "muscular",
+                "pear_shaped", "petite", "short", "short_arms",
+                "skinny_legs", "slim_waist", "tall",
+            )
+        },
+        "measurements": {"height_gt": True, "weight_gt": True,
+                         "height_bg": False, "weight_bg": False,
+                         "chest": False, "waist": False, "hips": False},
+        "network": {"type": "polynomial",
+                    "polynomial": {"degree": 2, "alpha": 1.0}},
+    }
+    assert main(cfg, train=True) == 0
+    assert main(cfg, train=False) == 0
+
+
+def test_attributes_s2a_demo(capsys, tmp_path):
+    from shapy_tpu.cli.attributes_demo import main
+
+    # Build demo inputs: two betas npzs + genders yaml
+    betas_dir = tmp_path / "fits"
+    os.makedirs(betas_dir)
+    rng = np.random.default_rng(0)
+    import yaml
+
+    genders = {}
+    for i in range(2):
+        np.savez(betas_dir / f"img_{i:02d}.npz",
+                 betas=rng.normal(size=10).astype(np.float32))
+        genders[f"img_{i:02d}"] = "female" if i else "male"
+    with open(tmp_path / "genders.yaml", "w") as f:
+        yaml.safe_dump(genders, f)
+
+    cfg = {
+        "type": "b2a",
+        "output_dir": str(tmp_path / "nonexistent"),
+        "ds_gender": "female",
+        "model_gender": "neutral",
+        "model_type": "smplx",
+        "num_shape_comps": 10,
+        "use_attributes": True,
+        "use_measurements": False,
+        "female_attributes": {
+            k: True for k in ("big", "tall", "short")
+        },
+        "betas_folder": str(betas_dir),
+        "ds_genders_path": str(tmp_path / "genders.yaml"),
+        "network": {"type": "polynomial",
+                    "polynomial": {"degree": 2}},
+    }
+    assert main(cfg, str(tmp_path / "out"), render=False) == 0
+    out = capsys.readouterr().out
+    assert "Results for image img_01" in out
+
+
+def test_attributes_a2s_demo(capsys, tmp_path):
+    from shapy_tpu.cli.attributes_demo import main
+
+    cfg = {
+        "type": "a2b",
+        "output_dir": str(tmp_path / "none"),
+        "ds_gender": "female",
+        "model_gender": "neutral",
+        "model_type": "smplx",
+        "num_shape_comps": 10,
+        "use_attributes": True,
+        "use_measurements": True,
+        "rating_folder": "/root/reference/samples/attributes/",
+        "female_attributes": {
+            k: True for k in (
+                "big", "broad_shoulders", "feminine", "large_breasts",
+                "long_legs", "long_neck", "long_torso", "muscular",
+                "pear_shaped", "petite", "short", "short_arms",
+                "skinny_legs", "slim_waist", "tall",
+            )
+        },
+        "measurements": {"height_gt": True, "chest": True, "waist": True,
+                         "hips": True},
+        "network": {"type": "polynomial",
+                    "polynomial": {"degree": 2}},
+    }
+    assert main(cfg, str(tmp_path / "out"), render=False) == 0
+    out = capsys.readouterr().out
+    assert "Predicted betas" in out
+
+
+def test_hbw_submission_checker(tmp_path):
+    from shapy_tpu.cli.evaluate_hbw import check_submission_format
+
+    good = tmp_path / "good.npz"
+    np.savez(good, image_name=np.asarray(["a", "b"]),
+             v_shaped=np.zeros((2, 10475, 3), np.float32))
+    assert check_submission_format(str(good))
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, image_name=np.asarray(["a"]),
+             v_shaped=np.zeros((2, 100, 3), np.float32))
+    assert not check_submission_format(str(bad))
+
+
+def test_evaluate_hbw_offline(tmp_path, rng):
+    """Offline HBW eval on a synthetic submission + GT tree."""
+    from shapy_tpu.cli.evaluate_hbw import evaluate_submission
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+
+    body = SMPLX(model_data=make_synthetic_model_data(
+        "smplx", subdivisions=2))
+    anchors = MeasurementAnchors.synthetic(
+        body.faces, np.asarray(body.params["v_template"]))
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=64)
+
+    import jax.numpy as jnp
+
+    betas = jnp.asarray(rng.normal(size=(3, 10)), jnp.float32)
+    gt_v = np.asarray(body.forward_shape(betas)["v_shaped"])
+    fits = gt_v + rng.normal(size=gt_v.shape).astype(np.float32) * 0.002
+
+    labels = [f"val/s{i:03d}_x/studio/img.jpg" for i in range(3)]
+    lookup = {l: gt_v[i] for i, l in enumerate(labels)}
+
+    results = evaluate_submission(
+        labels, fits, lambda l: lookup[l],
+        model_type="smplx",
+        measurements_gt=meas, measurements_fit=meas,
+        gt_faces=body.faces, fit_faces=body.faces,
+        batch_size=2,
+    )
+    assert results["v2v_t"] < 0.004
+    assert results["height_error"] < 0.02

@@ -1,0 +1,295 @@
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from shapy_tpu.data.build import (
+    DataLoader,
+    SequentialBatchSampler,
+    build_all_data_loaders,
+    collate_batch,
+)
+from shapy_tpu.data.samplers import (
+    EqualSampler,
+    ShapeSampler,
+    weights_to_probabilities,
+)
+from shapy_tpu.data.transforms import build_transforms
+
+
+def write_img(path, H=120, W=100):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, img)
+
+
+def fake_openpose_person(rng, W=100, H=120):
+    body = np.zeros((25, 3))
+    body[:, 0] = rng.uniform(20, 80, 25)
+    body[:, 1] = rng.uniform(20, 100, 25)
+    body[:, 2] = 0.9
+    return {
+        "pose_keypoints_2d": body.reshape(-1).tolist(),
+        "hand_left_keypoints_2d": [],
+        "hand_right_keypoints_2d": [],
+        "face_keypoints_2d": [],
+    }
+
+
+@pytest.fixture()
+def hbw_root(tmp_path, rng):
+    root = tmp_path / "hbw"
+    # subject with images + keypoints + gt mesh
+    img_dir = root / "photos" / "val" / "s001_case"
+    kp_dir = root / "keypoints" / "val" / "s001_case"
+    mesh_dir = root / "v_templates" / "smplx" / "val"
+    for t in ("studio",):
+        write_img(str(img_dir / t / "img0.jpg"))
+        os.makedirs(kp_dir / t, exist_ok=True)
+        with open(kp_dir / t / "img0.json", "w") as f:
+            json.dump({"people": [fake_openpose_person(rng)]}, f)
+    os.makedirs(mesh_dir, exist_ok=True)
+    from shapy_tpu.models.body.assets import icosphere
+
+    verts, faces = icosphere(1)
+    with open(mesh_dir / "s001.obj", "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in faces + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+    with open(root / "genders.yaml", "w") as f:
+        yaml.safe_dump({"s001": "female"}, f)
+    return str(root), faces
+
+
+def test_hbw_dataset(hbw_root, rng):
+    from shapy_tpu.data.datasets.hbw import HBWDataset
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body.assets import icosphere
+
+    root, faces = hbw_root
+    verts, _ = icosphere(1)
+    anchors = MeasurementAnchors.synthetic(faces, verts)
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=64)
+
+    tf = build_transforms({"crop_size": 64}, is_train=False)
+    ds = HBWDataset(
+        data_folder=root, split="val", transforms=tf,
+        measurements_module=meas, body_model_faces=faces,
+    )
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["gender"] == "female"
+    assert s["gender_int"] == 2
+    assert s["gt_v_shaped"].shape == (42, 3)
+    assert "height_gt" in s and s["height_gt"] > 0
+    assert s["cropped_image"].shape == (64, 64, 3)
+    # measurement cache written
+    assert os.path.exists(os.path.join(root, "_meas_cache_val.npz"))
+    # second construction uses the cache
+    ds2 = HBWDataset(
+        data_folder=root, split="val", transforms=tf,
+        measurements_module=meas, body_model_faces=faces,
+    )
+    assert ds2.gt_measurements["s001"]["height"] == pytest.approx(
+        ds.gt_measurements["s001"]["height"]
+    )
+
+
+@pytest.fixture()
+def agency_root(tmp_path, rng):
+    root = tmp_path / "agency"
+    write_img(str(root / "acme" / "images" / "m1" / "a.jpg"))
+    body = np.zeros((135, 3))
+    body[:25, 0] = rng.uniform(20, 80, 25)
+    body[:25, 1] = rng.uniform(20, 100, 25)
+    body[:25, 2] = 0.9
+    annotations = {
+        "m1": {
+            "agency": "acme",
+            "gender": "female",
+            "height": 1.74,
+            "chest": 0.86,
+            "waist": 0.62,
+            "hips": 0.9,
+            "attributes": list(np.linspace(1, 5, 15)),
+            "images": {"a.jpg": body.tolist()},
+        }
+    }
+    with open(root / "annotations.json", "w") as f:
+        json.dump(annotations, f)
+    with open(root / "splits.json", "w") as f:
+        json.dump({"train": ["m1"], "val": [], "test": []}, f)
+    return str(root)
+
+
+def test_model_agency_dataset(agency_root):
+    from shapy_tpu.data.datasets.model_agencies import ModelAgencyDataset
+
+    tf = build_transforms({"crop_size": 64}, is_train=False)
+    ds = ModelAgencyDataset(data_folder=agency_root, split="train",
+                            transforms=tf)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["height"] == pytest.approx(1.74)
+    assert s["attributes"].shape == (15,)
+    assert s["height_valid"] == 1.0
+
+
+def test_ssp3d_dataset(tmp_path, rng):
+    from shapy_tpu.data.datasets.ssp3d import SSP3DDataset
+
+    root = tmp_path / "ssp"
+    write_img(str(root / "images" / "f0.png"))
+    kp = np.zeros((25, 3))
+    kp[:, 0] = rng.uniform(20, 80, 25)
+    kp[:, 1] = rng.uniform(20, 100, 25)
+    kp[:, 2] = 1.0
+    np.savez(
+        root / "labels.npz",
+        fnames=["f0.png"],
+        shapes=rng.normal(size=(1, 10)),
+        poses=rng.normal(size=(1, 72)) * 0.1,
+        joints2D=kp[None],
+        genders=["m"],
+        bbox_centres=np.asarray([[50.0, 60.0]]),
+        bbox_whs=np.asarray([60.0]),
+        cam_trans=np.zeros((1, 3)),
+    )
+    tf = build_transforms({"crop_size": 64}, is_train=False)
+    ds = SSP3DDataset(data_folder=str(root), transforms=tf)
+    s = ds[0]
+    assert s["gt_betas"].shape == (10,)
+    assert s["gender_int"] == 1
+    assert s["cropped_image"].shape == (64, 64, 3)
+
+
+def test_samplers(rng):
+    class FakeDS:
+        def __init__(self, n, only2d, name, genders=None, weight=None):
+            self.n, self._only2d, self._name = n, only2d, name
+            self.gender = np.asarray(genders or ["m"] * n)
+            self.weight = np.asarray(weight if weight is not None
+                                     else np.ones(n))
+
+        def __len__(self):
+            return self.n
+
+        def only_2d(self):
+            return self._only2d
+
+        def name(self):
+            return self._name
+
+    a, b = FakeDS(10, True, "a"), FakeDS(6, False, "b")
+    sampler = EqualSampler([a, b], batch_size=4, ratio_2d=0.5,
+                           shuffle=True)
+    batches = list(sampler)
+    assert len(batches) == 4
+    for batch in batches:
+        assert len(batch) == 4
+        n_2d = np.sum(batch < 10)
+        assert n_2d <= 2
+
+    c = FakeDS(
+        40, True, "c",
+        genders=["m"] * 20 + ["f"] * 20,
+        weight=np.concatenate([np.full(20, 60.0), np.full(20, 90.0)]),
+    )
+    shape_sampler = ShapeSampler([c], batch_size=8, shuffle=False)
+    batch = next(iter(shape_sampler))
+    genders = c.gender[batch]
+    assert (genders == "m").sum() == 4  # balanced
+
+    probs = weights_to_probabilities(np.asarray([60.0] * 9 + [100.0]))
+    assert probs[-1] > probs[0]  # rare value upweighted
+
+
+def test_collate_and_loader(rng):
+    from shapy_tpu.data.keypoints import model_keypoint_names
+
+    names = model_keypoint_names("smplx", use_face_contour=False)
+
+    samples = []
+    for i in range(3):
+        kp = np.zeros((135, 3), np.float32)
+        kp[:25, :2] = rng.uniform(-1, 1, (25, 2))
+        kp[:25, 2] = 1.0
+        samples.append(
+            {
+                "cropped_image": np.zeros((32, 32, 3), np.float32),
+                "target_keypoints2d": kp,
+                "keypoint_format": "openpose25_v1",
+                "fname": f"img{i}.jpg",
+                "gender": "male",
+                "gender_int": 1,
+                "height": 1.7,
+                "gt_betas": rng.normal(size=5).astype(np.float32),
+            }
+        )
+    batch = collate_batch(samples, target_keypoint_names=names)
+    assert batch["images"].shape == (3, 32, 32, 3)
+    assert batch["target_keypoints2d"].shape == (3, len(names), 3)
+    # pelvis got mapped from openpose index 8
+    pel = names.index("pelvis")
+    np.testing.assert_allclose(
+        batch["target_keypoints2d"][0, pel],
+        samples[0]["target_keypoints2d"][8],
+    )
+    assert batch["gt_betas"].shape == (3, 10)
+    assert batch["gt_betas_valid"].sum() == 3
+    assert batch["height"].shape == (3,)
+
+    class ListDS:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+        def only_2d(self):
+            return True
+
+        def name(self):
+            return "list"
+
+    loader = DataLoader(
+        [ListDS(samples)],
+        SequentialBatchSampler(3, 2),
+        lambda s: collate_batch(s, target_keypoint_names=names),
+        num_workers=2,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape[0] == 2
+    assert batches[1]["images"].shape[0] == 1
+
+
+def test_build_all_data_loaders_openpose(rng):
+    cfg = {
+        "datasets": {
+            "batch_size": 4,
+            "pose_shape_ratio": 1.0,
+            "pose": {
+                "splits": {"test": ["openpose"]},
+                "transforms": {"crop_size": 64},
+                "openpose": {
+                    "data_folder": "/root/reference/samples",
+                    "img_folder": "images",
+                    "keyp_folder": "openpose",
+                },
+            },
+        }
+    }
+    loaders = build_all_data_loaders(cfg, split="test")
+    assert "pose" in loaders
+    batch = next(iter(loaders["pose"]))
+    assert batch["images"].shape == (4, 64, 64, 3)
