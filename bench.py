@@ -27,10 +27,15 @@ def main() -> None:
 
     from __graft_entry__ import _build_flagship
 
-    batch_size = int(__import__("os").environ.get("BENCH_BATCH", "32"))
+    import os
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     # subdivisions=5 -> 10242 vertices / 20480 faces, matching the real
     # SMPL-X mesh scale (10475 / 20908) so LBS + measurement cost is honest.
     regressor = _build_flagship(subdivisions=5)
+    # bf16 backbone (MXU-native), f32 head/LBS/measurements.
+    if os.environ.get("BENCH_BF16", "1") == "1":
+        regressor.backbone_compute_dtype = jnp.bfloat16
 
     @jax.jit
     def forward(params, images):

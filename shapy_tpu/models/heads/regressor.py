@@ -233,17 +233,25 @@ class BodyRegressor:
     # -- forward -----------------------------------------------------------
     def compute_features(self, params, images: Array, train: bool,
                          axis_name=None, backbone_store=None) -> Array:
+        # MXU-first: optionally run the conv backbone in bfloat16 (weights
+        # cast lazily inside conv/BN via x.dtype) and return f32 features
+        # so the head/pose decode/LBS stay full precision.
+        bdt = getattr(self, "backbone_compute_dtype", None)
+        if bdt is not None:
+            images = images.astype(bdt)
         if self.backbone_type == "hrnet":
-            return hrnet_forward(
+            feats = hrnet_forward(
                 params["backbone"], images, train=train,
                 axis_name=axis_name, _store=backbone_store,
             )["concat"]
-        from shapy_tpu.models.backbones.resnet import resnet_forward
+        else:
+            from shapy_tpu.models.backbones.resnet import resnet_forward
 
-        return resnet_forward(
-            params["backbone"], images, self.resnet_depth, train=train,
-            axis_name=axis_name, _store=backbone_store,
-        )["avg_pooling"]
+            feats = resnet_forward(
+                params["backbone"], images, self.resnet_depth,
+                train=train, axis_name=axis_name, _store=backbone_store,
+            )["avg_pooling"]
+        return feats.astype(self.dtype)
 
     def iterative_stages(self, params, features: Array, train: bool,
                          rng=None, cond: Optional[Array] = None

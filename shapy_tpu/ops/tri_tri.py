@@ -1,0 +1,196 @@
+"""General mesh-mesh triangle intersection (TPU-native).
+
+Replaces the reference CUDA extension (``mesh-mesh-intersection/src/
+mesh_mesh_intersect_cuda_op.cu``: Morton-code LBVH build + per-query
+stack traversal + Moller tri-tri test). On TPU a BVH is the wrong shape —
+irregular traversal starves the vector units — so this computes a tiled
+all-pairs Moller interval test with an AABB prefilter folded into the
+mask. At SMPL mesh sizes (~21k faces) a (Q_tile, F) pair tile streams
+through the VPU at full bandwidth; queries are processed in chunks via
+``lax.map`` to bound memory.
+
+API parity (reference ``mesh_mesh_intersection/mesh_mesh_intersection.py
+:36-62``): ``MeshMeshIntersection(max_collisions)(query_tris,
+target_tris)`` returns
+
+  collision_faces: (B, Q*max_collisions) int32, -1 where unused,
+  collision_bcs:   (B, Q*max_collisions, 2, 3) barycentric coordinates of
+                   the two intersection-segment endpoints in the TARGET
+                   triangle (matching ``body_measurements.py:141-147``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_EPS = 1e-9
+
+
+def _plane(tri: Array) -> Tuple[Array, Array]:
+    """Unnormalised plane (n, d) with n.x + d = 0 for tri (..., 3, 3)."""
+    n = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
+                  tri[..., 2, :] - tri[..., 0, :])
+    d = -jnp.sum(n * tri[..., 0, :], axis=-1)
+    return n, d
+
+
+def _segment_on_line(tri, dists, direction):
+    """Intersection segment of a triangle with the other triangle's plane,
+    parametrised along `direction`.
+
+    tri: (..., 3, 3); dists: (..., 3) signed distances of tri's vertices
+    to the other plane. Returns (t0, t1, p0, p1, valid) with t0 <= t1.
+    """
+    ia = jnp.array([0, 1, 2])
+    ib = jnp.array([1, 2, 0])
+    sa, sb = dists[..., ia], dists[..., ib]
+    crossing = sa * sb < 0.0
+    denom = sa - sb
+    t = sa / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    pa = tri[..., ia, :]
+    pb = tri[..., ib, :]
+    q = pa + t[..., None] * (pb - pa)  # (..., 3, 3)
+
+    valid = jnp.sum(crossing, axis=-1) == 2
+    first = jnp.where(crossing[..., 0, None], q[..., 0, :], q[..., 1, :])
+    second = jnp.where(crossing[..., 2, None], q[..., 2, :], q[..., 1, :])
+    t0 = jnp.sum(first * direction, axis=-1)
+    t1 = jnp.sum(second * direction, axis=-1)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    p_lo = jnp.where((t0 <= t1)[..., None], first, second)
+    p_hi = jnp.where((t0 <= t1)[..., None], second, first)
+    return lo, hi, p_lo, p_hi, valid
+
+
+def point_to_barycentric(tri: Array, p: Array) -> Array:
+    """Barycentric coordinates of points p (..., 3) in triangles
+    (..., 3, 3) (the reference computes the same in CUDA,
+    mesh_mesh_intersect_cuda_op.cu:172-200)."""
+    v0 = tri[..., 1, :] - tri[..., 0, :]
+    v1 = tri[..., 2, :] - tri[..., 0, :]
+    v2 = p - tri[..., 0, :]
+    d00 = jnp.sum(v0 * v0, axis=-1)
+    d01 = jnp.sum(v0 * v1, axis=-1)
+    d11 = jnp.sum(v1 * v1, axis=-1)
+    d20 = jnp.sum(v2 * v0, axis=-1)
+    d21 = jnp.sum(v2 * v1, axis=-1)
+    denom = d00 * d11 - d01 * d01
+    denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    v = (d11 * d20 - d01 * d21) / denom
+    w = (d00 * d21 - d01 * d20) / denom
+    return jnp.stack([1.0 - v - w, v, w], axis=-1)
+
+
+def _pairs_intersect(query_tri: Array, target_tris: Array):
+    """One query triangle (3, 3) against all targets (F, 3, 3).
+
+    Returns (valid (F,), endpoints (F, 2, 3)).
+    """
+    nq, dq = _plane(query_tri)
+    nt, dt = _plane(target_tris)
+
+    # Signed distances
+    dist_t = jnp.einsum("k,fvk->fv", nq, target_tris) + dq  # (F, 3)
+    dist_q = jnp.einsum("fk,vk->fv", nt, query_tri) + dt[:, None]  # (F, 3)
+
+    direction = jnp.cross(nq[None], nt)  # (F, 3)
+
+    lo_t, hi_t, p_lo_t, p_hi_t, valid_t = _segment_on_line(
+        target_tris, dist_t, direction
+    )
+    qtri = jnp.broadcast_to(query_tri, target_tris.shape)
+    lo_q, hi_q, p_lo_q, p_hi_q, valid_q = _segment_on_line(
+        qtri, dist_q, direction
+    )
+
+    lo = jnp.maximum(lo_t, lo_q)
+    hi = jnp.minimum(hi_t, hi_q)
+    overlap = hi > lo
+    valid = valid_t & valid_q & overlap
+
+    # AABB prefilter folded into the mask (cheap reject for the compiler
+    # to prune the expensive lanes is not possible under SIMD, but the
+    # mask keeps degenerate data out of the outputs).
+    qmin = jnp.min(query_tri, axis=0)
+    qmax = jnp.max(query_tri, axis=0)
+    tmin = jnp.min(target_tris, axis=1)
+    tmax = jnp.max(target_tris, axis=1)
+    boxes = jnp.all((tmin <= qmax) & (tmax >= qmin), axis=-1)
+    valid = valid & boxes
+
+    # Endpoint selection: the interval endpoints come from whichever
+    # segment bounds the overlap.
+    p0 = jnp.where((lo_t >= lo_q)[..., None], p_lo_t, p_lo_q)
+    p1 = jnp.where((hi_t <= hi_q)[..., None], p_hi_t, p_hi_q)
+    endpoints = jnp.stack([p0, p1], axis=1)  # (F, 2, 3)
+    return valid, endpoints
+
+
+def mesh_mesh_intersection(
+    query_tris: Array,
+    target_tris: Array,
+    max_collisions: int = 256,
+    query_chunk: int = 64,
+) -> Tuple[Array, Array]:
+    """Batched intersection, reference-compatible outputs.
+
+    query_tris: (B, Q, 3, 3); target_tris: (B, F, 3, 3).
+    """
+    B, Q = query_tris.shape[:2]
+    F = target_tris.shape[1]
+
+    def per_batch(args):
+        q_tris, t_tris = args
+
+        def per_query(q_tri):
+            valid, endpoints = _pairs_intersect(q_tri, t_tris)
+            # Top-k compaction of valid target faces
+            score = valid.astype(jnp.float32)
+            k = min(max_collisions, F)
+            _, idx = jax.lax.top_k(score, k)
+            sel_valid = valid[idx]
+            faces = jnp.where(sel_valid, idx, -1)
+            sel_tris = t_tris[idx]  # (k, 3, 3)
+            sel_pts = endpoints[idx]  # (k, 2, 3)
+            bcs = point_to_barycentric(
+                sel_tris[:, None].repeat(2, axis=1), sel_pts
+            )
+            bcs = jnp.where(sel_valid[:, None, None], bcs, 0.0)
+            if k < max_collisions:
+                pad = max_collisions - k
+                faces = jnp.concatenate(
+                    [faces, jnp.full((pad,), -1, faces.dtype)]
+                )
+                bcs = jnp.concatenate(
+                    [bcs, jnp.zeros((pad, 2, 3), bcs.dtype)]
+                )
+            return faces.astype(jnp.int32), bcs
+
+        faces, bcs = jax.lax.map(
+            per_query, q_tris, batch_size=min(query_chunk, Q)
+        )
+        return faces.reshape(-1), bcs.reshape(-1, 2, 3)
+
+    faces, bcs = jax.lax.map(per_batch, (query_tris, target_tris))
+    return faces, bcs
+
+
+class MeshMeshIntersection:
+    """API-parity wrapper (reference mesh_mesh_intersection.py:36-62)."""
+
+    def __init__(self, max_collisions: int = 256, query_chunk: int = 64):
+        self.max_collisions = max_collisions
+        self.query_chunk = query_chunk
+
+    def __call__(self, query_tris: Array, target_tris: Array
+                 ) -> Tuple[Array, Array]:
+        return mesh_mesh_intersection(
+            query_tris, target_tris, self.max_collisions, self.query_chunk
+        )

@@ -1,0 +1,116 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from shapy_tpu.ops.plane_slice import plane_slice_triangles
+from shapy_tpu.ops.repulsion import repulsion_loss
+from shapy_tpu.ops.tri_tri import (
+    MeshMeshIntersection,
+    mesh_mesh_intersection,
+    point_to_barycentric,
+)
+from shapy_tpu.models.body.assets import icosphere
+
+
+def test_point_to_barycentric():
+    tri = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+    p = jnp.asarray([[0.25, 0.25, 0.0]])
+    bc = np.asarray(point_to_barycentric(tri, p))[0]
+    np.testing.assert_allclose(bc, [0.5, 0.25, 0.25], atol=1e-6)
+    # reconstruct
+    rec = (np.asarray(tri)[0] * bc[:, None]).sum(0)
+    np.testing.assert_allclose(rec, np.asarray(p)[0], atol=1e-6)
+
+
+def test_two_crossing_triangles():
+    # Target triangle in the z=0 plane, query (in the x=0 plane)
+    # punching through it. Vertices kept strictly off the other plane:
+    # vertex-on-plane is a measure-zero degenerate the strict sign test
+    # rejects (same convention as the plane-slice op).
+    target = jnp.asarray(
+        [[[[-1.0, -1, 0], [1, -1, 0], [0.2, 2, 0]]]]
+    )  # (1, 1, 3, 3)
+    query = jnp.asarray(
+        [[[[0.0, -1, -1], [0, -1, 1], [0, 2, 0.3]]]]
+    )
+    faces, bcs = mesh_mesh_intersection(query, target, max_collisions=4)
+    faces = np.asarray(faces)[0]
+    bcs = np.asarray(bcs)[0]
+    assert faces[0] == 0
+    assert (faces[1:] == -1).all()
+    # Segment endpoints reconstructed from barycentrics lie on x=0, z=0
+    tri = np.asarray(target)[0, 0]
+    pts = np.einsum("ek,kd->ed", bcs[0], tri)
+    np.testing.assert_allclose(pts[:, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(pts[:, 2], 0.0, atol=1e-5)
+
+
+def test_disjoint_triangles():
+    target = jnp.asarray([[[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]]])
+    query = jnp.asarray([[[[5.0, 5, 5], [6, 5, 5], [5, 6, 5]]]])
+    faces, bcs = mesh_mesh_intersection(query, target, max_collisions=2)
+    assert (np.asarray(faces) == -1).all()
+    np.testing.assert_allclose(np.asarray(bcs), 0.0)
+
+
+def test_plane_query_matches_plane_slice():
+    """The in-repo use case: a horizontal plane as the query mesh must
+    find the same crossing faces as the dense plane-slice op."""
+    verts, faces = icosphere(2)
+    verts = verts * np.asarray([0.3, 0.8, 0.25])
+    tris = jnp.asarray(verts[faces], jnp.float32)[None]
+    h = 0.31
+    plane = np.asarray(
+        [
+            [[-1.0, h, -1], [1, h, -1], [1, h, 1]],
+            [[-1.0, h, -1], [1, h, 1], [-1, h, 1]],
+        ],
+        np.float32,
+    )[None]
+    isect = MeshMeshIntersection(max_collisions=128)
+    coll_faces, coll_bcs = isect(jnp.asarray(plane), tris)
+    found = set(int(f) for f in np.asarray(coll_faces)[0] if f >= 0)
+
+    _, valid = plane_slice_triangles(tris, jnp.asarray([h]))
+    expected = set(np.nonzero(np.asarray(valid)[0])[0].tolist())
+    # Every face crossed by the plane within the quad's footprint
+    assert expected == found
+
+    # Reconstructed points lie on the plane
+    tri_np = np.asarray(tris)[0]
+    bcs = np.asarray(coll_bcs)[0].reshape(2, 128, 2, 3)
+    faces_arr = np.asarray(coll_faces)[0].reshape(2, 128)
+    for q in range(2):
+        for c in range(128):
+            f = faces_arr[q, c]
+            if f < 0:
+                continue
+            pts = np.einsum("ek,kd->ed", bcs[q, c], tri_np[f])
+            np.testing.assert_allclose(pts[:, 1], h, atol=1e-5)
+
+
+def test_repulsion_loss_detects_penetration():
+    # Two parallel triangles, intruder just below the receiver surface
+    tris = np.zeros((1, 2, 3, 3), np.float32)
+    tris[0, 0] = [[-1, -1, 0], [1, -1, 0], [0, 1, 0]]  # receiver, n=+z
+    tris[0, 1] = [[-0.5, -0.5, -0.1], [0.5, -0.5, -0.1], [0, 0.5, -0.1]]
+    pairs = np.asarray([[[0, 1], [-1, -1]]], np.int32)
+    loss = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs))
+    assert float(loss[0]) > 0
+
+    # Deeper penetration (still a declared collision pair) penalised more
+    # (reference semantics: pairs come from the intersection test, and the
+    # linear region grows with depth, loss.py:68-80)
+    tris[0, 1, :, 2] = -1.0
+    loss2 = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs))
+    assert float(loss2[0]) > float(loss[0])
+
+    # Intruder ABOVE the receiver surface (outside, positive side): zero
+    tris[0, 1, :, 2] = 1.0
+    loss_above = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs))
+    assert float(loss_above[0]) == 0.0
+
+    # All-padded pairs: zero
+    pairs_empty = np.full((1, 2, 2), -1, np.int32)
+    loss3 = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs_empty))
+    assert float(loss3[0]) == 0.0
