@@ -29,7 +29,7 @@ def main() -> None:
 
     import os
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     # subdivisions=5 -> 10242 vertices / 20480 faces, matching the real
     # SMPL-X mesh scale (10475 / 20908) so LBS + measurement cost is honest.
     regressor = _build_flagship(subdivisions=5)

@@ -46,6 +46,10 @@ def _populate_registry() -> None:
     from shapy_tpu.data.datasets.openpose import OpenPoseDataset
     from shapy_tpu.data.datasets.ssp3d import SSP3DDataset
     from shapy_tpu.data.datasets.threedpw import ThreeDPWDataset
+    from shapy_tpu.data.datasets.parametric import (
+        EHFDataset,
+        ParametricFitsDataset,
+    )
 
     DATASET_REGISTRY.update(
         {
@@ -54,6 +58,11 @@ def _populate_registry() -> None:
             "ssp3d": SSP3DDataset,
             "model_agencies": ModelAgencyDataset,
             "threedpw": ThreeDPWDataset,
+            "ehf": EHFDataset,
+            "curated_fits": ParametricFitsDataset,
+            "spin": ParametricFitsDataset,
+            "spinx": ParametricFitsDataset,
+            "human36mx": ParametricFitsDataset,
         }
     )
 

@@ -1,0 +1,160 @@
+"""Parametric-fit pose datasets (CuratedFittings / SPIN / SPIN-X /
+Human3.6M-X style).
+
+Behavioural spec: reference ``regressor/human_shape/data/datasets/``
+curated_fittings / spin / human36m loaders: npz archives of per-sample
+image name, crop center/scale, SMPL(-X) pose + betas (+ optional
+expression, hand poses, 3D joints, vertices), consumed by the pose
+training stream. One loader covers the family; per-dataset quirks are
+constructor flags, mirroring the reference's near-identical classes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from shapy_tpu.data.datasets.hbw import GENDER_TO_INT
+from shapy_tpu.data.datasets.openpose import read_img
+
+
+class ParametricFitsDataset:
+    SOURCE = "openpose25_v1"
+
+    def __init__(
+        self,
+        data_folder: str = "",
+        img_folder: str = "",
+        npz_files=(),
+        split: str = "train",
+        transforms=None,
+        return_shape: bool = True,
+        return_expression: bool = False,
+        return_vertices: bool = False,
+        body_dset_factor: float = 1.2,
+        metrics=("mpjpe",),
+        **kwargs,
+    ):
+        self.data_folder = os.path.expandvars(data_folder)
+        self.img_folder = os.path.join(self.data_folder, img_folder) \
+            if img_folder else self.data_folder
+        self.transforms = transforms
+        self.body_dset_factor = body_dset_factor
+        self.metrics = metrics
+        self.split = split
+        self.is_train = "train" in split
+        self.return_shape = return_shape
+        self.return_expression = return_expression
+        self.return_vertices = return_vertices
+
+        fields = [
+            "imgname", "center", "scale", "pose", "shape", "gender",
+            "keypoints2d", "joints3d", "expression", "vertices",
+            "left_hand_pose", "right_hand_pose",
+        ]
+        data: Dict[str, list] = {k: [] for k in fields}
+        for fname in npz_files:
+            if not fname:
+                continue
+            path = fname if os.path.isabs(fname) else os.path.join(
+                self.data_folder, fname
+            )
+            with np.load(os.path.expandvars(path),
+                         allow_pickle=True) as d:
+                n = len(d["imgname"])
+                for k in fields:
+                    if k in d:
+                        data[k].append(np.asarray(d[k]))
+                    elif k == "gender":
+                        data[k].append(np.asarray(["neutral"] * n))
+        self.data = {
+            k: (np.concatenate(v) if v else None)
+            for k, v in data.items()
+        }
+        self.num_items = (
+            len(self.data["imgname"]) if self.data["imgname"] is not None
+            else 0
+        )
+
+    def __len__(self) -> int:
+        return self.num_items
+
+    def only_2d(self) -> bool:
+        return False
+
+    def name(self) -> str:
+        return f"ParametricFits/{self.split}"
+
+    def __getitem__(self, index: int) -> Optional[Dict]:
+        img_path = os.path.join(
+            self.img_folder, str(self.data["imgname"][index])
+        )
+        img = read_img(img_path)
+        center = np.asarray(self.data["center"][index], np.float32)
+        scale = float(np.asarray(self.data["scale"][index]).reshape(-1)[0])
+        gender = str(self.data["gender"][index])
+
+        sample: Dict = {
+            "image": img,
+            "keypoint_format": self.SOURCE,
+            "center": center,
+            "scale": scale * self.body_dset_factor,
+            "bbox_size": scale * 200.0,
+            "orig_center": center.copy(),
+            "orig_bbox_size": scale * 200.0,
+            "fname": os.path.basename(str(self.data["imgname"][index])),
+            "gender": gender,
+            "gender_int": GENDER_TO_INT.get(gender.lower()[:1], 0),
+            "gt_pose_aa": np.asarray(self.data["pose"][index],
+                                     np.float32),
+            "index": index,
+        }
+        if self.data["keypoints2d"] is not None:
+            sample["keypoints2d"] = np.asarray(
+                self.data["keypoints2d"][index], np.float32
+            )
+        if self.return_shape and self.data["shape"] is not None:
+            sample["gt_betas"] = np.asarray(
+                self.data["shape"][index], np.float32
+            )
+        if self.return_expression and self.data["expression"] is not None:
+            sample["gt_expression"] = np.asarray(
+                self.data["expression"][index], np.float32
+            )
+        if self.return_vertices and self.data["vertices"] is not None:
+            sample["gt_vertices"] = np.asarray(
+                self.data["vertices"][index], np.float32
+            )
+        if self.data["joints3d"] is not None:
+            sample["joints3d"] = np.asarray(
+                self.data["joints3d"][index], np.float32
+            )
+        if self.transforms is not None:
+            rng = np.random.default_rng(
+                index if self.is_train else 0
+            )
+            sample = self.transforms(sample, rng)
+        return sample
+
+
+class EHFDataset(ParametricFitsDataset):
+    """EHF test set: 100 studio frames with SMPL-X alignment GT meshes
+    (reference datasets/ehf.py). Expects <data_folder>/<img_folder> with
+    frames and an ``ehf.npz`` index (imgname/center/scale/vertices)."""
+
+    def __init__(self, data_folder: str = "data/EHF",
+                 img_folder: str = "images", split: str = "test",
+                 npz_files=("ehf.npz",), **kwargs):
+        super().__init__(
+            data_folder=data_folder,
+            img_folder=img_folder,
+            npz_files=npz_files,
+            split=split,
+            return_vertices=True,
+            **kwargs,
+        )
+
+    def name(self) -> str:
+        return f"EHF/{self.split}"

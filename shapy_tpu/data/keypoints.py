@@ -161,6 +161,26 @@ H36M_NAMES = [
     "right_elbow", "right_wrist",
 ]
 
+MPII_NAMES = [
+    "right_ankle", "right_knee", "right_hip", "left_hip", "left_knee",
+    "left_ankle", "pelvis", "thorax", "upper_neck", "head_top",
+    "right_wrist", "right_elbow", "right_shoulder", "left_shoulder",
+    "left_elbow", "left_wrist",
+]
+
+# SPIN's 49-joint convention: 25 OpenPose body joints followed by 24
+# "ground-truth" joints (reference SPIN_KEYPOINT_NAMES).
+SPIN_NAMES = (
+    _OPENPOSE_BODY19[:19] + FEET_NAMES
+    + [
+        "right_ankle", "right_knee", "right_hip", "left_hip", "left_knee",
+        "left_ankle", "right_wrist", "right_elbow", "right_shoulder",
+        "left_shoulder", "left_elbow", "left_wrist", "neck", "head_top",
+        "pelvis", "thorax", "spine", "h36m_jaw", "h36m_head", "nose",
+        "left_eye", "right_eye", "left_ear", "right_ear",
+    ]
+)
+
 KEYPOINT_NAMES_DICT: Dict[str, List[str]] = {
     "smpl": SMPL_NAMES,
     "smplh": SMPLH_NAMES,
@@ -171,6 +191,8 @@ KEYPOINT_NAMES_DICT: Dict[str, List[str]] = {
     "lsp": LSP_NAMES,
     "3dpw": THREEDPW_NAMES,
     "h36m": H36M_NAMES,
+    "mpii": MPII_NAMES,
+    "spin": SPIN_NAMES,
 }
 
 

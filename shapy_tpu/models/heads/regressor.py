@@ -125,6 +125,12 @@ class BodyRegressor:
             self.feat_dim = RESNET_FEAT_DIM[depth]
             self.resnet_depth = depth
 
+# Regressor head: iterative-mlp (default, the SHAPY config) or
+        # iterative-rnn (reference build_regressor, networks.py:727-762).
+        self.regressor_type = network_cfg.get("type", "iterative-mlp")
+        if self.regressor_type in ("SMPLRegressor", "SMPLHRegressor",
+                                   "SMPLXRegressor"):
+            self.regressor_type = "iterative-mlp"
         mlp_cfg = dict(network_cfg.get("mlp") or {})
         self.mlp_layers = tuple(mlp_cfg.get("layers", (1024, 1024)))
         self.mlp_activation = (mlp_cfg.get("activation") or {}).get(
@@ -133,14 +139,28 @@ class BodyRegressor:
         if self.mlp_activation in ("none", "None"):
             self.mlp_activation = None
         self.mlp_dropout = float(mlp_cfg.get("dropout", 0.0))
-        head_params = mlp_init(
-            self.feat_dim + self.param_dim,
-            self.param_dim,
-            self.mlp_layers,
-            gain=float(mlp_cfg.get("gain", 0.01)),
-            seed=seed + 1,
-            dtype=dtype,
-        )
+        if self.regressor_type == "iterative-rnn":
+            from shapy_tpu.models.heads.networks_extra import (
+                MultiLayerRNNCell,
+            )
+
+            rnn_cfg = dict(network_cfg.get("rnn") or {})
+            self.rnn = MultiLayerRNNCell(
+                self.feat_dim + self.param_dim,
+                self.param_dim,
+                tuple(rnn_cfg.get("hidden_dims", (1024, 1024))),
+                seed=seed + 1,
+            )
+            head_params = self.rnn.params
+        else:
+            head_params = mlp_init(
+                self.feat_dim + self.param_dim,
+                self.param_dim,
+                self.mlp_layers,
+                gain=float(mlp_cfg.get("gain", 0.01)),
+                seed=seed + 1,
+                dtype=dtype,
+            )
 
         self.params: Dict[str, Any] = {
             "backbone": backbone_params,
@@ -265,16 +285,25 @@ class BodyRegressor:
             )
         stages = []
         current = cond
+        rnn_state = (
+            self.rnn.init_state(B)
+            if self.regressor_type == "iterative-rnn" else None
+        )
         for i in range(self.num_stages):
             x = jnp.concatenate([features, current], axis=-1)
             if rng is not None:
                 rng, sub = jax.random.split(rng)
             else:
                 sub = None
-            delta = mlp_forward(
-                params["head"], x, len(self.mlp_layers),
-                self.mlp_activation, self.mlp_dropout, train, sub,
-            )
+            if rnn_state is not None:
+                delta, rnn_state = self.rnn.apply(
+                    params["head"], x, rnn_state
+                )
+            else:
+                delta = mlp_forward(
+                    params["head"], x, len(self.mlp_layers),
+                    self.mlp_activation, self.mlp_dropout, train, sub,
+                )
             current = current + delta
             stages.append(current)
         return stages

@@ -23,6 +23,17 @@ if os.environ.get("SHAPY_TPU_TEST_ON_TPU", "0") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: XLA compiles of the big graphs (HRNet
+# forward/backward) dominate suite runtime on this single-core host; the
+# cache survives across processes and cuts repeat runs by minutes.
+_CACHE_DIR = os.environ.get(
+    "SHAPY_TPU_COMPILE_CACHE", "/tmp/shapy_tpu_xla_cache"
+)
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
