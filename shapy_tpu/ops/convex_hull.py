@@ -54,7 +54,12 @@ def hull_perimeter_support(
     centroid = centroid / count[..., None]
     centred = jnp.where(m, points - centroid, 0.0)
 
-    proj = centred @ u  # (..., N, K)
+    # HIGHEST precision: TPU's default f32 matmul runs in bf16 passes,
+    # which costs ~1.4 mm on a ~1.7 m circumference — outside the <1 mm
+    # parity budget. This matmul is tiny; full f32 is free.
+    proj = jnp.matmul(
+        centred, u, precision=jax.lax.Precision.HIGHEST
+    )  # (..., N, K)
     neg = jnp.asarray(-jnp.inf, dtype=points.dtype)
     h = jnp.max(jnp.where(m, proj, neg), axis=-2)  # (..., K)
     h = jnp.maximum(h, 0.0)  # no valid points on some direction -> 0
