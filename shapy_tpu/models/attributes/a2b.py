@@ -123,6 +123,93 @@ class A2B:
             report[name] = self.validate(y, pred)
         return report
 
+    def fit_nn(
+        self,
+        db: Dict,
+        v2v_weight: float = 1.0,
+        betas_weight: float = 0.0,
+        edge_weight: float = 0.0,
+        meas_weights: Optional[Dict[str, float]] = None,
+        num_steps: int = 2000,
+        learning_rate: float = 1e-3,
+        batch_size: int = 256,
+        seed: int = 0,
+    ) -> Dict[str, Dict[str, float]]:
+        """NN training with mesh-space losses (reference a2b.py:604-734):
+        v2v on forward_shape vertices, optional edge loss, optional
+        differentiable measurement losses — requires an attached body
+        model (+ measurement module for meas terms)."""
+        import jax
+        import optax
+
+        from shapy_tpu.core.geometry import faces_to_edges
+        from shapy_tpu.models.attributes.networks import FlaxRegressor
+
+        assert isinstance(self.a2b, FlaxRegressor), (
+            "fit_nn requires an NN network type (mlp/resnet/moe)"
+        )
+        assert self.body_model is not None, "attach a body model"
+        meas_weights = dict(meas_weights or {})
+
+        (xtr, ytr), (xval, yval), _ = self._tvt(db)
+        X = jnp.asarray(self.preprocess(xtr), jnp.float32)
+        Y = jnp.asarray(ytr, jnp.float32)
+        model = self.body_model
+        faces = model.faces
+        edges = faces_to_edges(faces) if edge_weight > 0 else None
+        meas = self.meas_module
+
+        def loss_fn(variables, xb, yb):
+            pred_betas = self.a2b.module.apply(variables, xb)
+            pred_out = model.forward_shape(pred_betas)["v_shaped"]
+            gt_out = model.forward_shape(yb)["v_shaped"]
+            loss = 0.0
+            if v2v_weight > 0:
+                loss += v2v_weight * jnp.mean(
+                    jnp.linalg.norm(pred_out - gt_out, axis=-1)
+                )
+            if betas_weight > 0:
+                loss += betas_weight * jnp.mean((pred_betas - yb) ** 2)
+            if edge_weight > 0:
+                from shapy_tpu.losses.losses import vertex_edge_loss
+
+                loss += edge_weight * vertex_edge_loss(
+                    pred_out, gt_out, edges
+                )
+            if meas_weights and meas is not None:
+                pm = meas.forward(pred_out[:, faces])["measurements"]
+                gm = meas.forward(gt_out[:, faces])["measurements"]
+                for k, w in meas_weights.items():
+                    if w > 0:
+                        loss += w * jnp.mean(
+                            jnp.abs(pm[k]["tensor"] - gm[k]["tensor"])
+                        )
+            return loss
+
+        tx = optax.adam(learning_rate)
+        opt_state = tx.init(self.a2b.variables)
+
+        @jax.jit
+        def step(variables, opt_state, key):
+            idx = jax.random.randint(
+                key, (min(batch_size, X.shape[0]),), 0, X.shape[0]
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(
+                variables, X[idx], Y[idx]
+            )
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            return optax.apply_updates(variables, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(seed)
+        v = self.a2b.variables
+        for _ in range(num_steps):
+            key, sub = jax.random.split(key)
+            v, opt_state, _ = step(v, opt_state, sub)
+        self.a2b.variables = v
+
+        pred = self.a2b.predict(self.preprocess(xval))
+        return {"val": self.validate(yval, pred)}
+
     def fit_loo(self, features: np.ndarray, betas: np.ndarray
                 ) -> Dict[str, float]:
         """Leave-one-out cross-validation (a2b.py:377-413)."""
