@@ -95,8 +95,42 @@ def build_demo_regressor(exp_cfg: Dict, checkpoint_path: str = ""):
         )
         measurements = BodyMeasurements(model_type="smplx")
 
+    # Frozen B2A / A2B attribute plugins (reference
+    # iterative_regressor.py:146-204): loaded per gender when the config
+    # enables them and the checkpoints exist.
+    net_sub = dict(
+        (exp_cfg.get("network") or {}).get("smplx")
+        or (exp_cfg.get("network") or {}).get("smpl")
+        or {}
+    )
+
+    def _load_pair(cls, prefix):
+        models = {}
+        for gender in ("males", "females"):
+            path = os.path.expandvars(
+                net_sub.get(f"{prefix}_{gender}_checkpoint", "") or ""
+            )
+            if path and os.path.exists(path):
+                models[gender[:-1]] = cls.load_from_checkpoint(path)
+        return models if len(models) == 2 else {}
+
+    b2a_models = {}
+    a2b_models = {}
+    if net_sub.get("use_b2a"):
+        from shapy_tpu.models.attributes.b2a import B2A
+
+        b2a_models = _load_pair(B2A, "b2a")
+    if net_sub.get("use_a2b"):
+        from shapy_tpu.models.attributes.a2b import A2B
+
+        a2b_models = _load_pair(A2B, "a2b")
+
     regressor = build_body_head(
-        exp_cfg, body_model=body_model, measurements=measurements
+        exp_cfg,
+        body_model=body_model,
+        measurements=measurements,
+        b2a_models=b2a_models,
+        a2b_models=a2b_models,
     )
 
     if checkpoint_path and os.path.exists(checkpoint_path):

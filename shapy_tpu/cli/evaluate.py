@@ -28,6 +28,17 @@ def main(exp_cfg: Dict, output_folder: str = "evaluation",
 
     os.makedirs(output_folder, exist_ok=True)
 
+    # Fail fast before the (expensive) model build if no datasets are
+    # configured for this split.
+    ds_cfg = dict(exp_cfg.get("datasets") or {})
+    has_data = any(
+        (dict(ds_cfg.get(part) or {}).get("splits") or {}).get(split)
+        for part in ("pose", "shape")
+    )
+    if not has_data:
+        print("No evaluation datasets configured", file=sys.stderr)
+        return 1
+
     checkpoint = os.path.expandvars(exp_cfg.get("pretrained", "") or "")
     regressor = build_demo_regressor(exp_cfg, checkpoint)
 

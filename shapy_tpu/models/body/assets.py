@@ -83,25 +83,28 @@ def icosphere(subdivisions: int = 2) -> tuple[np.ndarray, np.ndarray]:
         dtype=np.int64,
     )
     for _ in range(subdivisions):
-        edge_mid: Dict[tuple, int] = {}
-        vlist = list(verts)
-        new_faces = []
-
-        def midpoint(a: int, b: int) -> int:
-            key = (min(a, b), max(a, b))
-            if key not in edge_mid:
-                m = vlist[a] + vlist[b]
-                m = m / np.linalg.norm(m)
-                edge_mid[key] = len(vlist)
-                vlist.append(m)
-            return edge_mid[key]
-
-        for tri in faces:
-            a, b, c = (int(x) for x in tri)
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.asarray(vlist)
-        faces = np.asarray(new_faces, dtype=np.int64)
+        # Vectorised midpoint subdivision: unique undirected edges get one
+        # new vertex each; each face splits into four.
+        e = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+        )
+        e_sorted = np.sort(e, axis=1)
+        uniq, inverse = np.unique(e_sorted, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_idx = inverse.reshape(3, -1).T + len(verts)  # (F, 3): ab bc ca
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        ab, bc, ca = mid_idx[:, 0], mid_idx[:, 1], mid_idx[:, 2]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([b, bc, ab], axis=1),
+                np.stack([c, ca, bc], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ],
+            axis=0,
+        ).astype(np.int64)
+        verts = np.concatenate([verts, mids], axis=0)
     return verts, faces
 
 
