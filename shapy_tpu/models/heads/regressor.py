@@ -460,6 +460,37 @@ class BodyRegressor:
 
         return out
 
+    def apply_from_full_images(
+        self,
+        params: Dict[str, Any],
+        full_images: Array,
+        crop_to_image_affines: Array,
+        crop_size: int = 256,
+        mean: Optional[Array] = None,
+        std: Optional[Array] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        """Fused preprocessing + forward (the BASELINE "fuse
+        crop+normalize into the model" item): full images (B, H, W, 3) in
+        [0, 1] + crop->image affines (B, 3, 3) are cropped with the
+        on-device bilinear warp, ImageNet-normalised, and fed to the
+        backbone — one jitted program from raw pixels to measurements,
+        no host-side cv2 warp on the hot path."""
+        from shapy_tpu.data.crop import jax_bilinear_crop
+        from shapy_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(
+            IMAGENET_MEAN if mean is None else mean, full_images.dtype
+        )
+        std = jnp.asarray(
+            IMAGENET_STD if std is None else std, full_images.dtype
+        )
+        crops = jax_bilinear_crop(
+            full_images, crop_to_image_affines, (crop_size, crop_size)
+        )
+        crops = (crops - mean) / std
+        return self.apply(params, crops, **kwargs)
+
     def __call__(self, images, batch=None, **kwargs):
         return self.apply(self.params, images, batch=batch, **kwargs)
 

@@ -139,3 +139,37 @@ def test_train_mode_dropout(regressor):
         np.asarray(out1["stage_02"]["betas"]),
         np.asarray(out2["stage_02"]["betas"]),
     )
+
+
+def test_apply_from_full_images_matches_host_crop(regressor, rng):
+    """On-device fused crop+normalize == host cv2 crop pipeline."""
+    import cv2
+
+    from shapy_tpu.data.crop import (
+        crop_image,
+        crop_to_image_affine,
+    )
+    from shapy_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    H, W, size = 200, 160, 64
+    img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+    center, scale = [80.0, 100.0], 0.5
+
+    host_crop = crop_image(img, center, scale, (size, size))
+    host_norm = (host_crop - IMAGENET_MEAN) / IMAGENET_STD
+    out_host = regressor.apply(regressor.params, jnp.asarray(host_norm)[None])
+
+    A = crop_to_image_affine(center, scale, (size, size)).astype(np.float32)
+    out_fused = regressor.apply_from_full_images(
+        regressor.params,
+        jnp.asarray(img)[None],
+        jnp.asarray(A)[None],
+        crop_size=size,
+    )
+    # cv2 and the jax bilinear warp agree to interpolation tolerance, so
+    # betas from both paths should be near-identical
+    np.testing.assert_allclose(
+        np.asarray(out_host["stage_02"]["betas"]),
+        np.asarray(out_fused["stage_02"]["betas"]),
+        atol=1e-3,
+    )
