@@ -19,7 +19,7 @@ coefficient becomes the bias.
 from __future__ import annotations
 
 from itertools import chain, combinations_with_replacement
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ implemented — the SHAPY release checkpoints use it.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ with running stats stored like torch (``running_mean`` / ``running_var``).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ camera_projection.py:44-213``. Notable reference quirks preserved:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
 import jax

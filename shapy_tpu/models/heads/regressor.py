@@ -27,7 +27,7 @@ betas(10) + camera(3) = 145.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +125,7 @@ class BodyRegressor:
             self.feat_dim = RESNET_FEAT_DIM[depth]
             self.resnet_depth = depth
 
-# Regressor head: iterative-mlp (default, the SHAPY config) or
+        # Regressor head: iterative-mlp (default, the SHAPY config) or
         # iterative-rnn (reference build_regressor, networks.py:727-762).
         self.regressor_type = network_cfg.get("type", "iterative-mlp")
         if self.regressor_type in ("SMPLRegressor", "SMPLHRegressor",

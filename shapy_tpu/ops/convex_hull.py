@@ -54,11 +54,13 @@ def hull_perimeter_support(
     centroid = centroid / count[..., None]
     centred = jnp.where(m, points - centroid, 0.0)
 
-    # HIGHEST precision: TPU's default f32 matmul runs in bf16 passes,
-    # which costs ~1.4 mm on a ~1.7 m circumference — outside the <1 mm
-    # parity budget. This matmul is tiny; full f32 is free.
-    proj = jnp.matmul(
-        centred, u, precision=jax.lax.Precision.HIGHEST
+    # Projection as an explicit f32 broadcast, not a matmul: TPU's default
+    # f32 matmul runs in bf16 passes (cost ~1.4 mm on a ~1.7 m
+    # circumference, outside the <1 mm parity budget) and
+    # Precision.HIGHEST fixes accuracy but is 4x slower than the VPU
+    # broadcast for this K-dim=2 contraction (measured on v5e).
+    proj = (
+        centred[..., 0:1] * u[0][None, :] + centred[..., 1:2] * u[1][None, :]
     )  # (..., N, K)
     neg = jnp.asarray(-jnp.inf, dtype=points.dtype)
     h = jnp.max(jnp.where(m, proj, neg), axis=-2)  # (..., K)

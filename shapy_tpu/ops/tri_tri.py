@@ -21,7 +21,6 @@ target_tris)`` returns
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -20,7 +20,7 @@ multi-host (DCN) runs.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
