@@ -165,6 +165,51 @@ class Evaluator:
 
         return metrics
 
+    # -- image summaries ----------------------------------------------------
+    def create_image_summaries(
+        self,
+        images: np.ndarray,
+        outputs: Dict[str, Any],
+        tag: str,
+        step: int = 0,
+        last_stage: str = "stage_02",
+        max_images: int = 4,
+        mean=(0.485, 0.456, 0.406),
+        std=(0.229, 0.224, 0.225),
+    ) -> Optional[np.ndarray]:
+        """Mesh-overlay image grid (reference evaluation.py:438-569).
+
+        images: (B, H, W, 3) normalised crops; renders the predicted mesh
+        over the first ``max_images`` and logs via the summary writer.
+        """
+        from shapy_tpu.render import render_mesh_overlay
+
+        stage = outputs.get(last_stage) or {}
+        vertices = stage.get("vertices")
+        faces = stage.get("faces")
+        if vertices is None or faces is None:
+            return None
+        imgs = np.asarray(images)[:max_images]
+        verts = np.asarray(vertices)[:max_images]
+        mean = np.asarray(mean, np.float32)
+        std = np.asarray(std, np.float32)
+        overlays = []
+        for i in range(len(imgs)):
+            rgb = np.clip(imgs[i] * std + mean, 0, 1)
+            v = verts[i] - verts[i].mean(0)
+            v = v * np.asarray([1.0, -1.0, -1.0])
+            v[:, 2] += 2.5
+            overlays.append(
+                render_mesh_overlay(rgb, v, np.asarray(faces),
+                                    focal_length=500.0 * rgb.shape[1] / 512)
+            )
+        grid = np.concatenate(overlays, axis=1)
+        if self.summary_writer is not None:
+            self.summary_writer.add_image(
+                tag, (grid.transpose(2, 0, 1) * 255).astype(np.uint8), step
+            )
+        return grid
+
     # -- full run ----------------------------------------------------------
     def run(
         self,

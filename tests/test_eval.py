@@ -135,3 +135,28 @@ def test_evaluator_run(rng):
         np.mean([0.02, 0.02, 0.01, 0.01]), abs=1e-6
     )
     assert "v2v_t/male" in r and "v2v_t/female" in r
+
+
+def test_image_summaries(rng):
+    from shapy_tpu.models.body.assets import icosphere
+
+    verts, faces = icosphere(1)
+    ev = Evaluator()
+    images = rng.uniform(-2, 2, size=(3, 64, 64, 3)).astype(np.float32)
+    outputs = {
+        "stage_02": {
+            "vertices": np.broadcast_to(
+                verts[None], (3,) + verts.shape
+            ).astype(np.float32),
+            "faces": faces,
+        }
+    }
+    grid = ev.create_image_summaries(images, outputs, "test", max_images=2)
+    assert grid.shape == (64, 128, 3)
+    assert np.isfinite(grid).all()
+    # the mesh overlay actually changed pixels vs the background
+    bg = np.clip(
+        images[0] * np.asarray([0.229, 0.224, 0.225])
+        + np.asarray([0.485, 0.456, 0.406]), 0, 1
+    )
+    assert np.abs(grid[:, :64] - bg).max() > 0.1
