@@ -50,6 +50,9 @@ def _populate_registry() -> None:
         EHFDataset,
         ParametricFitsDataset,
     )
+    from shapy_tpu.data.datasets.openpose_tracks import (
+        OpenPoseTracksDataset,
+    )
 
     DATASET_REGISTRY.update(
         {
@@ -63,6 +66,7 @@ def _populate_registry() -> None:
             "spin": ParametricFitsDataset,
             "spinx": ParametricFitsDataset,
             "human36mx": ParametricFitsDataset,
+            "openpose_tracks": OpenPoseTracksDataset,
         }
     )
 

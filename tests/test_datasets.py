@@ -293,3 +293,20 @@ def test_build_all_data_loaders_openpose(rng):
     assert "pose" in loaders
     batch = next(iter(loaders["pose"]))
     assert batch["images"].shape == (4, 64, 64, 3)
+
+
+def test_openpose_tracks_dataset():
+    from shapy_tpu.data.datasets.openpose_tracks import (
+        OpenPoseTracksDataset,
+    )
+
+    ds = OpenPoseTracksDataset(
+        data_folder="/root/reference/samples",
+        img_folder="images",
+        keyp_folder="openpose",
+    )
+    assert len(ds) == 22
+    sample = ds[0]
+    assert "track_id" in sample
+    tracks = ds.tracks()
+    assert sum(len(v) for v in tracks.values()) == len(ds)
