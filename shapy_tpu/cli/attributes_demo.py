@@ -4,8 +4,7 @@
 Behavioural spec: reference ``attributes/demo.py:16-127`` — same layered
 config (--exp-cfg/--exp-opts), same checkpoint resolution
 (``<output_dir>/last.ckpt``), same printed output formats
-("Predicted bestas for <id>" including the reference's typo-free
-equivalent, and the per-attribute rating table).
+(per-model predicted betas and the per-attribute rating table).
 """
 
 from __future__ import annotations
@@ -50,7 +49,6 @@ def run_a2s(cfg, demo_output_folder: str, smpl_model_path: str,
     if render:
         os.makedirs(demo_output_folder, exist_ok=True)
         try:
-            from shapy_tpu.cli.virtual_measurements import main as _  # noqa
             from shapy_tpu.models.body import (
                 SMPLX,
                 make_synthetic_model_data,

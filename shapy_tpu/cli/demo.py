@@ -155,11 +155,7 @@ def main(
     import jax.numpy as jnp
 
     from shapy_tpu.data.datasets import OpenPoseDataset
-    from shapy_tpu.data.transforms import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-        build_transforms,
-    )
+    from shapy_tpu.data.transforms import build_transforms
     from shapy_tpu.render import render_mesh_overlay, save_ply
 
     os.makedirs(demo_output_folder, exist_ok=True)

@@ -17,7 +17,6 @@ GIL), replacing torch DataLoader workers.
 from __future__ import annotations
 
 import queue
-import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np

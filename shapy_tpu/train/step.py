@@ -86,6 +86,7 @@ def make_train_step(
     regressor,
     losses,
     tx: optax.GradientTransformation,
+    learn_mean: bool = False,
 ) -> Callable:
     """Build the pure train-step function.
 
@@ -106,11 +107,16 @@ def make_train_step(
             compute, has_aux=True
         )(state.params)
 
-        # Do not apply gradient updates to BN running stats; they are
-        # replaced by the forward pass's own updates.
+        # Do not apply gradient updates to BN running stats (replaced by
+        # the forward pass's own updates) nor to the parameter mean (a
+        # buffer in the reference unless learn_mean, networks.py:513-518).
         def zero_stats(path, g):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            return jnp.zeros_like(g) if is_batch_stat(str(name)) else g
+            if is_batch_stat(str(name)):
+                return jnp.zeros_like(g)
+            if not learn_mean and "param_mean" in str(name):
+                return jnp.zeros_like(g)
+            return g
 
         grads = jax.tree_util.tree_map_with_path(zero_stats, grads)
 
