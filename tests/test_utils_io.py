@@ -98,3 +98,71 @@ def test_checkpointer_empty_load(tmp_path):
 
     ck = Checkpointer(save_dir=str(tmp_path / "none"))
     assert ck.load() is None
+
+
+def test_full_model_checkpoint_import(tmp_path):
+    """Round-trip the reference full-model checkpoint format through
+    load_reference_model_checkpoint: backbone.* (OIHW), regressor.module.*
+    head weights, regressor.mean_param."""
+    import torch
+
+    from shapy_tpu.io.model_import import load_reference_model_checkpoint
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import SMPLXRegressor
+
+    reg = SMPLXRegressor(
+        body_model_cfg={"smplx": {
+            "global_rot": {"param_type": "cont_rot_repr"},
+            "body_pose": {"param_type": "cont_rot_repr"},
+        }},
+        network_cfg={
+            "num_stages": 2, "predict_hands": False,
+            "predict_face": False,
+            "backbone": {"type": "resnet", "depth": 18},
+            "mlp": {"layers": [32], "dropout": 0.0},
+        },
+        body_model=SMPLX(model_data=make_synthetic_model_data(
+            "smplx", subdivisions=1)),
+    )
+
+    # Build a torch-style checkpoint from the current params
+    rng = np.random.default_rng(0)
+    sd = {}
+    for k, v in reg.params["backbone"].items():
+        if k.endswith("running_var"):
+            # variances must stay positive or BN rsqrt produces NaN
+            arr = rng.uniform(0.5, 2.0,
+                              size=np.asarray(v).shape).astype(np.float32)
+        else:
+            arr = rng.normal(size=np.asarray(v).shape).astype(np.float32)
+        if k.endswith(".weight") and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        sd[f"backbone.{k}"] = torch.tensor(arr)
+    for k, v in reg.params["head"].items():
+        sd[f"regressor.module.{k}"] = torch.tensor(
+            rng.normal(size=np.asarray(v).shape).astype(np.float32))
+    mean = rng.normal(size=(1, reg.param_dim)).astype(np.float32)
+    sd["regressor.mean_param"] = torch.tensor(mean)
+    sd["model.some_buffer"] = torch.tensor(np.zeros(3, np.float32))
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({"model": sd, "iteration": 123}, path)
+
+    new_params = load_reference_model_checkpoint(path, reg.params)
+    np.testing.assert_allclose(
+        np.asarray(new_params["param_mean"]), mean, atol=1e-6)
+    # Conv weights transposed back correctly
+    k = next(k for k in reg.params["backbone"]
+             if k.endswith("conv1.weight"))
+    np.testing.assert_allclose(
+        np.asarray(new_params["backbone"][k]),
+        np.asarray(sd[f"backbone.{k}"]).transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+    # Head weights taken verbatim
+    hk = "output_layer.weight"
+    np.testing.assert_allclose(
+        np.asarray(new_params["head"][hk]),
+        np.asarray(sd[f"regressor.module.{hk}"]), atol=1e-6)
+    # The imported params still run
+    out = reg.apply(new_params, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out["stage_01"]["betas"])).all()
