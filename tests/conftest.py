@@ -26,8 +26,15 @@ if os.environ.get("SHAPY_TPU_TEST_ON_TPU", "0") != "1":
 # Persistent compilation cache: XLA compiles of the big graphs (HRNet
 # forward/backward) dominate suite runtime on this single-core host; the
 # cache survives across processes and cuts repeat runs by minutes.
+# Keyed per-host (uname -n) so CPU AOT artifacts compiled on one machine
+# are never loaded on another (SIGILL risk). The residual "+prefer-no-
+# scatter not supported" warning is XLA's benign pseudo-feature mismatch
+# (it fires even for a cache written seconds earlier on the same host).
+import platform  # noqa: E402
+
 _CACHE_DIR = os.environ.get(
-    "SHAPY_TPU_COMPILE_CACHE", "/tmp/shapy_tpu_xla_cache"
+    "SHAPY_TPU_COMPILE_CACHE",
+    f"/tmp/shapy_tpu_xla_cache_{platform.node()}",
 )
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

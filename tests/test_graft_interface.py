@@ -22,6 +22,28 @@ def test_graft_entry_importable_and_buildable():
     assert out["stage_02"]["betas"].shape == (1, 10)
 
 
+def test_dryrun_multichip_under_driver_env():
+    """Invoke dryrun_multichip(8) exactly as the driver does: a fresh
+    subprocess with NO conftest help (JAX_PLATFORMS left at the harness
+    default, no XLA_FLAGS). Round 1 shipped a failure here because the
+    guard only checked importability. Slow (~40s warm, minutes cold)."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # The driver environment pre-sets JAX_PLATFORMS=axon; replicate that
+    # if the harness gave it to us, else leave unset (still must pass).
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
+
+
 def test_bench_module_importable():
     sys.path.insert(0, "/root/repo")
     mod = importlib.import_module("bench")
