@@ -15,8 +15,11 @@ hrnet.py:18-554`` (ExPose variant of HRNetV2-W48):
 
 Param keys equal the torch ``state_dict`` keys, so the shipped SHAPY /
 ImageNet checkpoints import with a transpose only (see
-``hrnet_import.py``). Only the default (``use_old_impl=False``) variant is
-implemented — the SHAPY release checkpoints use it.
+``hrnet_import.py``). Both variants are implemented: the default and the
+``use_old_impl=True`` topology (hrnet.py:207,272-295,463-481), in which
+stage4 is built but skipped in the forward pass and the head concatenates
+[subsample_3(x1/8), subsample_2(x1/16), x1/32] (1152 channels) from the
+transition3 outputs.
 """
 
 from __future__ import annotations
@@ -165,6 +168,7 @@ def hrnet_forward(
     train: bool = False,
     axis_name: Optional[str] = None,
     return_stages: bool = False,
+    old_impl: bool = False,
     _store: Optional[ParamStore] = None,
 ) -> Dict[str, Array]:
     """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}."""
@@ -182,17 +186,27 @@ def hrnet_forward(
     xs = _transition(store, "transition2", xs, _branch_channels("stage2"),
                      _branch_channels("stage3"), train, axis_name)
     xs = _stage(store, "stage3", xs, "stage3", train, axis_name)
+    stage3_out = xs
     xs = _transition(store, "transition3", xs, _branch_channels("stage3"),
                      _branch_channels("stage4"), train, axis_name)
-    xs = _stage(store, "stage4", xs, "stage4", train, axis_name)
-
     # Head: bring every branch to 1/32 resolution and 384ch, concat, then
-    # five Bottleneck(512) layers to 2048 and a global mean pool.
-    x4 = _subsample(store, "subsample_4", xs[0], 3, train, axis_name)
-    x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
-    x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
-    x1 = xs[3]
-    feat = jnp.concatenate([x4, x3, x2, x1], axis=-1)
+    # five Bottleneck(512) layers to 2048 and a global mean pool. In the
+    # old_impl topology (ref hrnet.py:463-481) stage4 is built but never
+    # run: the head consumes the transition3 outputs directly and the
+    # concat has 3*384=1152 channels instead of 4*384.
+    if old_impl:
+        x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
+        x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
+        x1 = xs[3]
+        feat = jnp.concatenate([x3, x2, x1], axis=-1)
+        xs = stage3_out  # 'layer{i}' outputs come from stage3 (ref :467)
+    else:
+        xs = _stage(store, "stage4", xs, "stage4", train, axis_name)
+        x4 = _subsample(store, "subsample_4", xs[0], 3, train, axis_name)
+        x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
+        x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
+        x1 = xs[3]
+        feat = jnp.concatenate([x4, x3, x2, x1], axis=-1)
     for i in range(5):
         feat = bottleneck_block(
             store, f"conv_layers.{i}", feat, 512, 1, True, train,
@@ -208,14 +222,14 @@ def hrnet_forward(
 
 
 def hrnet_init(
-    seed: int = 0, dtype=jnp.float32
+    seed: int = 0, dtype=jnp.float32, old_impl: bool = False
 ) -> Dict[str, Array]:
     """Create a freshly-initialised W48 param dict (normal std=0.001 convs,
     unit BN — reference init_weights, hrnet.py:500-516)."""
     store = ParamStore(rng=np.random.default_rng(seed), init=True,
                        dtype=dtype)
     dummy = jnp.zeros((1, 64, 64, 3), dtype=dtype)
-    hrnet_forward(store.params, dummy, _store=store)
+    hrnet_forward(store.params, dummy, old_impl=old_impl, _store=store)
     return store.params
 
 

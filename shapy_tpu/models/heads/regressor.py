@@ -112,7 +112,13 @@ class BodyRegressor:
         backbone_cfg = dict(network_cfg.get("backbone") or {})
         self.backbone_type = backbone_cfg.get("type", "hrnet")
         if self.backbone_type == "hrnet":
-            backbone_params = hrnet_init(seed=seed, dtype=dtype)
+            hrnet_cfg = dict(backbone_cfg.get("hrnet") or {})
+            self.hrnet_old_impl = bool(
+                hrnet_cfg.get("use_old_impl",
+                              backbone_cfg.get("use_old_impl", False))
+            )
+            backbone_params = hrnet_init(seed=seed, dtype=dtype,
+                                         old_impl=self.hrnet_old_impl)
             self.feat_dim = 2048
         else:
             from shapy_tpu.models.backbones.resnet import (
@@ -262,7 +268,9 @@ class BodyRegressor:
         if self.backbone_type == "hrnet":
             feats = hrnet_forward(
                 params["backbone"], images, train=train,
-                axis_name=axis_name, _store=backbone_store,
+                axis_name=axis_name,
+                old_impl=getattr(self, "hrnet_old_impl", False),
+                _store=backbone_store,
             )["concat"]
         else:
             from shapy_tpu.models.backbones.resnet import resnet_forward

@@ -1,0 +1,371 @@
+"""Load individual modules from the reference implementation for parity
+tests.
+
+The environment ships torch + sklearn but not the reference's other
+third-party deps (torchvision, loguru, omegaconf, yacs, smplx, ...). This
+helper installs minimal stand-ins for those and loads *real* reference
+source files (``/root/reference/...``) as importable modules, so parity
+tests exercise the reference's actual numerics, not re-typed copies.
+
+The torchvision stand-in reimplements the standard public
+``BasicBlock``/``Bottleneck`` residual blocks (the torchvision reference
+architecture the reference's HRNet builds on); everything else stubbed
+here is non-numerical (loggers, config types).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import torch
+import torch.nn as nn
+
+REF = "/root/reference"
+
+
+class AttrDict(dict):
+    """dict with attribute access — stands in for yacs CfgNode /
+    OmegaConf DictConfig in reference constructors."""
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as exc:  # pragma: no cover
+            raise AttributeError(key) from exc
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+
+class _NoOpLogger:
+    def __getattr__(self, _name):
+        return lambda *a, **k: None
+
+
+# ---------------------------------------------------------------------------
+# torchvision.models.resnet stand-in (standard residual blocks)
+# ---------------------------------------------------------------------------
+
+def _conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+    return nn.Conv2d(in_planes, out_planes, kernel_size=3, stride=stride,
+                     padding=dilation, groups=groups, bias=False,
+                     dilation=dilation)
+
+
+def _conv1x1(in_planes, out_planes, stride=1):
+    return nn.Conv2d(in_planes, out_planes, kernel_size=1, stride=stride,
+                     bias=False)
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=1, base_width=64, dilation=1, norm_layer=None):
+        super().__init__()
+        if norm_layer is None:
+            norm_layer = nn.BatchNorm2d
+        self.conv1 = _conv3x3(inplanes, planes, stride)
+        self.bn1 = norm_layer(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = _conv3x3(planes, planes)
+        self.bn2 = norm_layer(planes)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        out = out + identity
+        return self.relu(out)
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=1, base_width=64, dilation=1, norm_layer=None):
+        super().__init__()
+        if norm_layer is None:
+            norm_layer = nn.BatchNorm2d
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = _conv1x1(inplanes, width)
+        self.bn1 = norm_layer(width)
+        self.conv2 = _conv3x3(width, width, stride, groups, dilation)
+        self.bn2 = norm_layer(width)
+        self.conv3 = _conv1x1(width, planes * self.expansion)
+        self.bn3 = norm_layer(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        out = out + identity
+        return self.relu(out)
+
+
+# ---------------------------------------------------------------------------
+# stub installation
+# ---------------------------------------------------------------------------
+
+def _ensure_module(name, attrs=None, path=None):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    if path is not None:
+        mod.__path__ = [path]
+    for key, val in (attrs or {}).items():
+        setattr(mod, key, val)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_stubs():
+    _ensure_module("loguru", {"logger": _NoOpLogger()})
+    yacs = _ensure_module("yacs")
+    yacs_cfg = _ensure_module("yacs.config", {"CfgNode": AttrDict})
+    yacs.config = yacs_cfg
+    _ensure_module(
+        "omegaconf", {"DictConfig": dict, "OmegaConf": None, "ListConfig": list}
+    )
+    tv = _ensure_module("torchvision")
+    tvm = _ensure_module("torchvision.models")
+    tvr = _ensure_module(
+        "torchvision.models.resnet",
+        {
+            "BasicBlock": BasicBlock,
+            "Bottleneck": Bottleneck,
+            "conv1x1": _conv1x1,
+            "conv3x3": _conv3x3,
+        },
+    )
+    tv.models = tvm
+    tvm.resnet = tvr
+
+
+def _load_file(fullname: str, relpath: str):
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    spec = importlib.util.spec_from_file_location(
+        fullname, os.path.join(REF, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        del sys.modules[fullname]
+        raise
+    return mod
+
+
+_PACKAGES = {
+    "human_shape": "regressor/human_shape",
+    "human_shape.models": "regressor/human_shape/models",
+    "human_shape.models.body_models":
+        "regressor/human_shape/models/body_models",
+    "human_shape.models.common": "regressor/human_shape/models/common",
+    "human_shape.models.camera": "regressor/human_shape/models/camera",
+    "human_shape.models.backbone": "regressor/human_shape/models/backbone",
+    "human_shape.utils": "regressor/human_shape/utils",
+    "attributes": "attributes/attributes",
+    "attributes.utils": "attributes/attributes/utils",
+    "attributes.attributes_betas": "attributes/attributes/attributes_betas",
+}
+
+_ready = False
+
+
+def setup():
+    """Install stubs + package scaffolding. Idempotent."""
+    global _ready
+    if _ready:
+        return
+    install_stubs()
+    for name, rel in _PACKAGES.items():
+        _ensure_module(name, path=os.path.join(REF, rel))
+
+    # human_shape.utils: expose the typing + rotation helpers the model
+    # files import, from the REAL reference sources (the package __init__
+    # pulls pyrender and friends, so we bypass it).
+    typing_mod = _load_file(
+        "human_shape.utils.typing", "regressor/human_shape/utils/typing.py"
+    )
+    rot_mod = _load_file(
+        "human_shape.utils.rotation_utils",
+        "regressor/human_shape/utils/rotation_utils.py",
+    )
+    utils_pkg = sys.modules["human_shape.utils"]
+    for mod in (typing_mod, rot_mod):
+        for key in dir(mod):
+            if not key.startswith("_"):
+                setattr(utils_pkg, key, getattr(mod, key))
+
+    # nnutils: the real __init__ is a single re-export; load it directly.
+    _ensure_module(
+        "human_shape.models.nnutils",
+        path=os.path.join(REF, "regressor/human_shape/models/nnutils"),
+    )
+    init_layer = _load_file(
+        "human_shape.models.nnutils.init_layer",
+        "regressor/human_shape/models/nnutils/init_layer.py",
+    )
+    sys.modules["human_shape.models.nnutils"].init_weights = (
+        init_layer.init_weights
+    )
+
+    # body_models package surface: KeypointTensor etc. for camera imports.
+    bm_utils = _load_file(
+        "human_shape.models.body_models.utils",
+        "regressor/human_shape/models/body_models/utils.py",
+    )
+    bm_pkg = sys.modules["human_shape.models.body_models"]
+    for key in ("KeypointTensor", "JointsFromVerticesSelector",
+                "transform_mat", "to_tensor"):
+        if hasattr(bm_utils, key):
+            setattr(bm_pkg, key, getattr(bm_utils, key))
+
+    # attributes.utils.typing for the polynomial model.
+    attr_typing = _load_file(
+        "attributes.utils.typing", "attributes/attributes/utils/typing.py"
+    )
+    sys.modules["attributes.utils"].typing = attr_typing
+
+    _ready = True
+
+
+# -- public loaders ---------------------------------------------------------
+
+def load_ref_hrnet():
+    setup()
+    return _load_file(
+        "human_shape.models.backbone.hrnet",
+        "regressor/human_shape/models/backbone/hrnet.py",
+    )
+
+
+def load_ref_lbs():
+    setup()
+    return _load_file(
+        "human_shape.models.body_models.lbs",
+        "regressor/human_shape/models/body_models/lbs.py",
+    )
+
+
+def load_ref_networks():
+    setup()
+    return _load_file(
+        "human_shape.models.common.networks",
+        "regressor/human_shape/models/common/networks.py",
+    )
+
+
+def load_ref_pose_utils():
+    setup()
+    return _load_file(
+        "human_shape.models.common.pose_utils",
+        "regressor/human_shape/models/common/pose_utils.py",
+    )
+
+
+def load_ref_camera():
+    setup()
+    return _load_file(
+        "human_shape.models.camera.camera_projection",
+        "regressor/human_shape/models/camera/camera_projection.py",
+    )
+
+
+def load_ref_polynomial():
+    setup()
+    return _load_file(
+        "attributes.attributes_betas.polynomial",
+        "attributes/attributes/attributes_betas/polynomial.py",
+    )
+
+
+def hrnet_w48_cfg(use_old_impl: bool = False) -> AttrDict:
+    """The reference W48 config (network_defaults.py:90-130) as the
+    attr-dict HighResolutionNet expects."""
+    stage = lambda **kw: AttrDict(  # noqa: E731
+        {
+            "num_modules": 1,
+            "num_branches": 1,
+            "num_blocks": (4,),
+            "num_channels": (64,),
+            "block": "BOTTLENECK",
+            "fuse_method": "SUM",
+            **kw,
+        }
+    )
+    return AttrDict(
+        {
+            "use_old_impl": use_old_impl,
+            "pretrained_layers": ["*"],
+            "pretrained_path": "",
+            "stage1": stage(),
+            "stage2": stage(num_branches=2, num_blocks=(4, 4),
+                            num_channels=(48, 96), block="BASIC"),
+            "stage3": stage(num_modules=4, num_branches=3,
+                            num_blocks=(4, 4, 4),
+                            num_channels=(48, 96, 192), block="BASIC"),
+            "stage4": stage(num_modules=3, num_branches=4,
+                            num_blocks=(4, 4, 4, 4),
+                            num_channels=(48, 96, 192, 384), block="BASIC"),
+        }
+    )
+
+
+def randomize_state_dict(module: nn.Module, seed: int = 0) -> None:
+    """In-place: give every parameter/buffer a random, O(1)-scale value so
+    eval-mode outputs carry real signal (fresh BN stats are 0/1 and conv
+    init is std=0.001, which would make parity trivially pass)."""
+    gen = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for name, tensor in sd.items():
+        if not torch.is_floating_point(tensor):
+            continue
+        if name.endswith("running_var"):
+            tensor.copy_(
+                torch.rand(tensor.shape, generator=gen) + 0.5
+            )
+        elif name.endswith("running_mean"):
+            tensor.copy_(
+                torch.randn(tensor.shape, generator=gen) * 0.1
+            )
+        elif tensor.ndim == 4:  # conv kernels: kaiming-ish scale
+            fan_in = tensor.shape[1] * tensor.shape[2] * tensor.shape[3]
+            tensor.copy_(
+                torch.randn(tensor.shape, generator=gen) / fan_in ** 0.5
+            )
+        elif tensor.ndim == 2:  # linear kernels
+            fan_in = tensor.shape[1]
+            tensor.copy_(
+                torch.randn(tensor.shape, generator=gen) / fan_in ** 0.5
+            )
+        elif tensor.ndim == 1 and name.endswith(".weight"):
+            # BN affine scale: keep O(1) so signal survives ~100 BN layers.
+            tensor.copy_(
+                torch.rand(tensor.shape, generator=gen) + 0.5
+            )
+        else:  # biases
+            tensor.copy_(
+                torch.randn(tensor.shape, generator=gen) * 0.1
+            )
+    module.load_state_dict(sd)
+
+
+def state_dict_numpy(module: nn.Module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

@@ -1,0 +1,390 @@
+"""Numeric parity against the reference implementation itself.
+
+These tests import *actual reference source files* (via
+``tests/reference_compat.py``) with random weights and assert output
+equality against the JAX rebuild. They retire the riskiest "importer
+correctness" caveats: HRNet-W48 full graph, lbs(), Polynomial, the
+iterative-regression stage loop, pose decoders, and cameras.
+
+Reference files exercised:
+  regressor/human_shape/models/backbone/hrnet.py:426-498
+  regressor/human_shape/models/body_models/lbs.py:99-196
+  regressor/human_shape/models/common/networks.py:308-592
+  regressor/human_shape/models/common/pose_utils.py:120-155
+  regressor/human_shape/models/camera/camera_projection.py:92-213
+  attributes/attributes/attributes_betas/polynomial.py:21-141
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests import reference_compat as rc
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# rotations
+# ---------------------------------------------------------------------------
+
+def test_rodrigues_parity(rng):
+    from shapy_tpu.core.rotations import aa_to_rotmat
+
+    rot_utils = rc.load_ref_lbs()  # pulls human_shape.utils with it
+    import sys
+
+    batch_rodrigues = sys.modules["human_shape.utils"].batch_rodrigues
+
+    aa = rng.normal(size=(24, 3)).astype(np.float32)
+    ref = _np(batch_rodrigues(torch.from_numpy(aa)))
+    got = np.asarray(aa_to_rotmat(jnp.asarray(aa)[None]))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_rot6d_decoder_parity(rng):
+    from shapy_tpu.core.rotations import rot6d_to_rotmat
+
+    pose_utils = rc.load_ref_pose_utils()
+    dec = pose_utils.ContinuousRotReprDecoder(num_angles=7)
+
+    raw = rng.normal(size=(3, 7 * 6)).astype(np.float32)
+    ref = _np(dec(torch.from_numpy(raw)))
+    got = np.asarray(rot6d_to_rotmat(jnp.asarray(raw).reshape(3, 7, 6)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# cameras
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scale_first", [False, True])
+def test_weak_persp_camera_parity(rng, scale_first):
+    from shapy_tpu.models.cameras import WeakPerspectiveCamera
+
+    cam_mod = rc.load_ref_camera()
+    ref_cam = cam_mod.WeakPerspectiveCamera(scale_first=scale_first)
+
+    pts = rng.normal(size=(4, 11, 3)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, size=(4, 1)).astype(np.float32)
+    transl = rng.normal(size=(4, 2)).astype(np.float32)
+
+    ref = _np(
+        ref_cam(torch.from_numpy(pts), torch.from_numpy(scale),
+                torch.from_numpy(transl))
+    )
+    got = np.asarray(
+        WeakPerspectiveCamera(scale_first=scale_first)(
+            jnp.asarray(pts), jnp.asarray(scale), jnp.asarray(transl)
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_persp_camera_parity(rng):
+    from shapy_tpu.models.cameras import PerspectiveCamera
+
+    cam_mod = rc.load_ref_camera()
+    ref_cam = cam_mod.PerspectiveCamera()
+
+    B, N = 3, 9
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pts[..., 2] += 5.0  # keep in front of the camera
+    transl = rng.normal(size=(B, 3)).astype(np.float32) * 0.1
+    aa = rng.normal(size=(B, 3)).astype(np.float32) * 0.2
+    import sys
+
+    rotmat = _np(
+        sys.modules["human_shape.utils"].batch_rodrigues(
+            torch.from_numpy(aa)
+        )
+    )
+
+    ref = _np(
+        ref_cam(
+            torch.from_numpy(pts),
+            rotation=torch.from_numpy(rotmat),
+            translation=torch.from_numpy(transl),
+        )
+    )
+    got = np.asarray(
+        PerspectiveCamera()(
+            jnp.asarray(pts),
+            rotation=jnp.asarray(rotmat),
+            translation=jnp.asarray(transl),
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# lbs
+# ---------------------------------------------------------------------------
+
+def _random_body(rng, V=40, J=8, L=10):
+    verts = rng.normal(size=(V, 3)).astype(np.float32)
+    shapedirs = (rng.normal(size=(V, 3, L)) * 0.03).astype(np.float32)
+    P = 9 * (J - 1)
+    posedirs = (rng.normal(size=(P, V * 3)) * 0.01).astype(np.float32)
+    J_regressor = rng.uniform(size=(J, V)).astype(np.float32)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+    lbs_weights = rng.uniform(size=(V, J)).astype(np.float32)
+    lbs_weights /= lbs_weights.sum(axis=1, keepdims=True)
+    parents = np.zeros(J, dtype=np.int64)
+    parents[0] = -1
+    for j in range(1, J):
+        parents[j] = (j - 1) // 2
+    return verts, shapedirs, posedirs, J_regressor, lbs_weights, parents
+
+
+@pytest.mark.parametrize("pose2rot", [True, False])
+def test_lbs_parity(rng, pose2rot):
+    from shapy_tpu.models.body.lbs import lbs as jax_lbs
+    from shapy_tpu.core.rotations import aa_to_rotmat
+
+    ref_lbs_mod = rc.load_ref_lbs()
+
+    V, J, L, B = 40, 8, 10, 3
+    (verts, shapedirs, posedirs, J_regressor, lbs_weights,
+     parents) = _random_body(rng, V, J, L)
+    betas = rng.normal(size=(B, L)).astype(np.float32)
+    aa = (rng.normal(size=(B, J * 3)) * 0.3).astype(np.float32)
+
+    if pose2rot:
+        pose_t = torch.from_numpy(aa)
+        pose_j = jnp.asarray(aa)
+    else:
+        rots = np.asarray(aa_to_rotmat(jnp.asarray(aa).reshape(B, J, 3)))
+        pose_t = torch.from_numpy(rots.copy())  # (B, J, 3, 3)
+        pose_j = jnp.asarray(rots)
+
+    ref = ref_lbs_mod.lbs(
+        torch.from_numpy(betas),
+        pose_t,
+        torch.from_numpy(verts),
+        torch.from_numpy(shapedirs),
+        torch.from_numpy(posedirs),
+        torch.from_numpy(J_regressor),
+        torch.from_numpy(parents),
+        torch.from_numpy(lbs_weights),
+        pose2rot=pose2rot,
+    )
+    got = jax_lbs(
+        jnp.asarray(betas),
+        pose_j,
+        jnp.asarray(verts),
+        jnp.asarray(shapedirs),
+        jnp.asarray(posedirs),
+        jnp.asarray(J_regressor),
+        parents,
+        jnp.asarray(lbs_weights),
+        pose2rot=pose2rot,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["v_shaped"]), _np(ref["v_shaped"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["joints"]), _np(ref["joints"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["vertices"]), _np(ref["vertices"]), atol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# polynomial (shipped S2A/A2S model)
+# ---------------------------------------------------------------------------
+
+def test_polynomial_forward_parity(rng):
+    from shapy_tpu.models.attributes.polynomial import Polynomial
+
+    poly_mod = rc.load_ref_polynomial()
+    ref = poly_mod.Polynomial(input_dim=6, output_dim=4, degree=2)
+    with torch.no_grad():
+        ref.linear.weight.normal_(generator=torch.Generator().manual_seed(3))
+        ref.linear.bias.normal_(generator=torch.Generator().manual_seed(4))
+    ref.eval()
+
+    mine = Polynomial(
+        6, 4, degree=2,
+        weight=_np(ref.linear.weight), bias=_np(ref.linear.bias),
+    )
+    assert mine.coeff_size == ref.coeff_size
+
+    x = rng.normal(size=(5, 6)).astype(np.float32)
+    ref_out = _np(ref.forward(torch.from_numpy(x)))
+    got = np.asarray(mine(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref_out, atol=1e-5)
+
+
+def test_polynomial_fit_parity(rng):
+    """Our closed-form ridge == the reference's sklearn-pipeline fit."""
+    from shapy_tpu.models.attributes.polynomial import Polynomial
+
+    poly_mod = rc.load_ref_polynomial()
+
+    X = rng.normal(size=(80, 5)).astype(np.float64)
+    W = rng.normal(size=(5 + 15, 3))
+    Y = np.concatenate([X, (X[:, :, None] * X[:, None, :]).reshape(80, -1)
+                        [:, :15]], axis=1) @ W + 0.1 * rng.normal(
+                            size=(80, 3))
+
+    for alpha in (0.0, 100.0):
+        ref = poly_mod.Polynomial(
+            input_dim=5, output_dim=3, degree=2, alpha=alpha
+        ).fit(X, Y)
+        mine = Polynomial(5, 3, degree=2, alpha=alpha).fit(X, Y)
+        xt = rng.normal(size=(7, 5)).astype(np.float32)
+        ref_out = _np(ref.forward(torch.from_numpy(xt)))
+        got = np.asarray(mine(jnp.asarray(xt)))
+        np.testing.assert_allclose(got, ref_out, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MLP + iterative regression stage loop
+# ---------------------------------------------------------------------------
+
+def test_mlp_forward_parity(rng):
+    from shapy_tpu.models.heads.mlp import mlp_forward
+
+    networks = rc.load_ref_networks()
+    ref = networks.MLP(
+        input_dim=20, output_dim=9, layers=[31, 17],
+        activation={"type": "none"}, normalization={"type": "none"},
+        dropout=0.5,
+    )
+    rc.randomize_state_dict(ref, seed=11)
+    ref.eval()
+
+    params = {
+        k: jnp.asarray(v) for k, v in rc.state_dict_numpy(ref).items()
+    }
+    x = rng.normal(size=(4, 20)).astype(np.float32)
+    ref_out = _np(ref(torch.from_numpy(x)))
+    got = np.asarray(
+        mlp_forward(params, jnp.asarray(x), num_layers=2, activation=None,
+                    dropout=0.5, train=False)
+    )
+    np.testing.assert_allclose(got, ref_out, atol=1e-5)
+
+
+def test_mlp_relu_parity(rng):
+    from shapy_tpu.models.heads.mlp import mlp_forward
+
+    networks = rc.load_ref_networks()
+    ref = networks.MLP(
+        input_dim=12, output_dim=5, layers=[16],
+        activation={"type": "relu"}, normalization={"type": "none"},
+    )
+    rc.randomize_state_dict(ref, seed=12)
+    ref.eval()
+    params = {
+        k: jnp.asarray(v) for k, v in rc.state_dict_numpy(ref).items()
+    }
+    x = rng.normal(size=(4, 12)).astype(np.float32)
+    ref_out = _np(ref(torch.from_numpy(x)))
+    got = np.asarray(
+        mlp_forward(params, jnp.asarray(x), num_layers=1, activation="relu",
+                    train=False)
+    )
+    np.testing.assert_allclose(got, ref_out, atol=1e-5)
+
+
+def test_iterative_regression_stage_loop_parity(rng):
+    """Our regressor's stage loop (regressor.py:276-309) matches the
+    reference IterativeRegression (networks.py:492-592): same per-stage
+    parameters given the same MLP weights, mean, and features."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    reg = ge._build_flagship(subdivisions=1, mlp_layers=(32,),
+                             backbone="resnet50")
+
+    networks = rc.load_ref_networks()
+    feat_dim, param_dim = reg.feat_dim, reg.param_dim
+    ref_mlp = networks.MLP(
+        input_dim=feat_dim + param_dim, output_dim=param_dim, layers=[32],
+        activation={"type": "none"}, normalization={"type": "none"},
+        dropout=0.5,
+    )
+    rc.randomize_state_dict(ref_mlp, seed=21)
+    mean = torch.randn(
+        1, param_dim, generator=torch.Generator().manual_seed(22)
+    )
+    ref_iter = networks.IterativeRegression(
+        ref_mlp, mean, num_stages=reg.num_stages
+    )
+    ref_iter.eval()
+
+    # Copy the ref weights into our param pytree (state-dict-key naming).
+    head = {
+        k[len("module."):]: jnp.asarray(v)
+        for k, v in rc.state_dict_numpy(ref_iter).items()
+        if k.startswith("module.")
+    }
+    params = dict(reg.params)
+    params["head"] = head
+    params["param_mean"] = jnp.asarray(_np(mean))
+
+    feats = rng.normal(size=(3, feat_dim)).astype(np.float32)
+    ref_params, ref_deltas = ref_iter(torch.from_numpy(feats))
+    got_stages = reg.iterative_stages(params, jnp.asarray(feats),
+                                      train=False)
+    assert len(got_stages) == len(ref_params)
+    for got, ref in zip(got_stages, ref_params):
+        np.testing.assert_allclose(np.asarray(got), _np(ref), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# HRNet-W48 full graph
+# ---------------------------------------------------------------------------
+
+def _hrnet_parity(use_old_impl: bool, rng):
+    from shapy_tpu.models.backbones.hrnet import hrnet_forward
+    from shapy_tpu.models.backbones.hrnet_import import (
+        import_hrnet_state_dict,
+    )
+
+    hrnet_mod = rc.load_ref_hrnet()
+    ref = hrnet_mod.HighResolutionNet(rc.hrnet_w48_cfg(use_old_impl))
+    rc.randomize_state_dict(ref, seed=31 + use_old_impl)
+    ref.eval()
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+
+    params = import_hrnet_state_dict(rc.state_dict_numpy(ref))
+    got = hrnet_forward(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        old_impl=use_old_impl, return_stages=True,
+    )
+
+    ref_concat = _np(ref_out["concat"])
+    got_concat = np.asarray(got["concat"])
+    assert np.std(ref_concat) > 1e-3, "reference output carries no signal"
+    np.testing.assert_allclose(got_concat, ref_concat, atol=5e-4, rtol=1e-3)
+
+    # Stage maps too (NCHW vs NHWC transpose). Slightly looser: XLA and
+    # torch accumulate the ~100-conv chain in different orders, so a
+    # handful of elements drift ~1% relative at f32.
+    for key in ref_out:
+        if key.startswith("layer") and key in got:
+            np.testing.assert_allclose(
+                np.asarray(got[key]).transpose(0, 3, 1, 2),
+                _np(ref_out[key]), atol=1e-2, rtol=2e-2,
+            )
+
+
+def test_hrnet_full_graph_parity(rng):
+    _hrnet_parity(False, rng)
+
+
+def test_hrnet_old_impl_parity(rng):
+    _hrnet_parity(True, rng)
