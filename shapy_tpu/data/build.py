@@ -249,9 +249,14 @@ def build_dataset(name: str, dataset_cfg: Dict, split: str, transforms):
     if name not in DATASET_REGISTRY:
         raise KeyError(f"Unknown dataset: {name}")
     sub_cfg = dict(dataset_cfg.get(name) or {})
-    return DATASET_REGISTRY[name](
-        split=split, transforms=transforms, **sub_cfg
-    )
+    cls = DATASET_REGISTRY[name]
+    from shapy_tpu.data.datasets.parametric import ParametricFitsDataset
+
+    if isinstance(cls, type) and issubclass(cls, ParametricFitsDataset):
+        # Parametric fit archives each use their own native keypoint
+        # ordering (ehf/spin/spinx/h36m registry formats).
+        sub_cfg.setdefault("dataset_name", name)
+    return cls(split=split, transforms=transforms, **sub_cfg)
 
 
 def build_all_data_loaders(

@@ -20,6 +20,17 @@ from shapy_tpu.data.datasets.hbw import GENDER_TO_INT
 from shapy_tpu.data.datasets.openpose import read_img
 
 
+# Native keypoint ordering per parametric-fit dataset family (reference
+# keypoint_names.py registry: each dataset remaps from its own table).
+PARAMETRIC_SOURCES = {
+    "ehf": "ehf",
+    "spin": "spin",
+    "spinx": "spinx",
+    "human36mx": "h36m",
+    "curated_fits": "spin",
+}
+
+
 class ParametricFitsDataset:
     SOURCE = "openpose25_v1"
 
@@ -30,6 +41,8 @@ class ParametricFitsDataset:
         npz_files=(),
         split: str = "train",
         transforms=None,
+        keypoint_format: Optional[str] = None,
+        dataset_name: str = "",
         return_shape: bool = True,
         return_expression: bool = False,
         return_vertices: bool = False,
@@ -37,6 +50,11 @@ class ParametricFitsDataset:
         metrics=("mpjpe",),
         **kwargs,
     ):
+        if keypoint_format is None:
+            keypoint_format = PARAMETRIC_SOURCES.get(
+                dataset_name, self.SOURCE
+            )
+        self.keypoint_format = keypoint_format
         self.data_folder = os.path.expandvars(data_folder)
         self.img_folder = os.path.join(self.data_folder, img_folder) \
             if img_folder else self.data_folder
@@ -98,7 +116,7 @@ class ParametricFitsDataset:
 
         sample: Dict = {
             "image": img,
-            "keypoint_format": self.SOURCE,
+            "keypoint_format": self.keypoint_format,
             "center": center,
             "scale": scale * self.body_dset_factor,
             "bbox_size": scale * 200.0,
@@ -147,6 +165,7 @@ class EHFDataset(ParametricFitsDataset):
     def __init__(self, data_folder: str = "data/EHF",
                  img_folder: str = "images", split: str = "test",
                  npz_files=("ehf.npz",), **kwargs):
+        kwargs.setdefault("dataset_name", "ehf")
         super().__init__(
             data_folder=data_folder,
             img_folder=img_folder,

@@ -154,45 +154,200 @@ THREEDPW_NAMES = [
     "left_eye", "right_ear", "left_ear",
 ]
 
-H36M_NAMES = [
-    "pelvis", "right_hip", "right_knee", "right_ankle", "left_hip",
-    "left_knee", "left_ankle", "spine", "neck", "head", "head_top",
+# The 24 "ground-truth" joints of the SPIN convention (reference
+# SPIN_KEYPOINT_NAMES, keypoint_names.py): 14 LSP joints + MPII extras +
+# H36M extras + face points.
+SPIN_NAMES = [
+    "right_ankle", "right_knee", "right_hip", "left_hip", "left_knee",
+    "left_ankle", "right_wrist", "right_elbow", "right_shoulder",
+    "left_shoulder", "left_elbow", "left_wrist", "neck", "head_top",
+    "pelvis", "thorax", "spine", "h36m_jaw", "h36m_head", "nose",
+    "left_eye", "right_eye", "left_ear", "right_ear",
+]
+
+# H36M's 24-joint evaluation convention: the SPIN list with the
+# source-disambiguated names (reference H36M_NAMES).
+H36M_NAMES = (
+    SPIN_NAMES[:14]
+    + ["pelvis_(mpii)", "thorax_(mpii)", "spine_(h36m)", "jaw_(h36m)",
+       "head"]
+    + SPIN_NAMES[19:]
+)
+
+# H36M's raw 17-joint skeleton (reference RAW_H36M_NAMES).
+RAW_H36M_NAMES = [
+    "pelvis", "left_hip", "left_knee", "left_ankle", "right_hip",
+    "right_knee", "right_ankle", "spine", "neck", "neck/nose", "head",
     "left_shoulder", "left_elbow", "left_wrist", "right_shoulder",
     "right_elbow", "right_wrist",
 ]
 
-MPII_NAMES = [
+_MPII_BODY = [
     "right_ankle", "right_knee", "right_hip", "left_hip", "left_knee",
     "left_ankle", "pelvis", "thorax", "upper_neck", "head_top",
     "right_wrist", "right_elbow", "right_shoulder", "left_shoulder",
     "left_elbow", "left_wrist",
 ]
 
-# SPIN's 49-joint convention: 25 OpenPose body joints followed by 24
-# "ground-truth" joints (reference SPIN_KEYPOINT_NAMES).
-SPIN_NAMES = (
-    _OPENPOSE_BODY19[:19] + FEET_NAMES
-    + [
-        "right_ankle", "right_knee", "right_hip", "left_hip", "left_knee",
-        "left_ankle", "right_wrist", "right_elbow", "right_shoulder",
-        "left_shoulder", "left_elbow", "left_wrist", "neck", "head_top",
-        "pelvis", "thorax", "spine", "h36m_jaw", "h36m_head", "nose",
-        "left_eye", "right_eye", "left_ear", "right_ear",
+_OPENPOSE_HANDS = (
+    _openpose_hand_names("left") + _openpose_hand_names("right")
+)
+
+# MPII as shipped with hand annotations (reference MPII_KEYPOINT_NAMES).
+MPII_NAMES = _MPII_BODY + _OPENPOSE_HANDS
+
+# SPIN-X: SPIN body + OpenPose hands + contour-first face.
+SPINX_NAMES = (
+    SPIN_NAMES + _OPENPOSE_HANDS
+    + _face_contour_names() + _facial_landmark_names()
+)
+
+# COCO whole-body (reference COCO_WHOLE_BODY_KEYPOINTS).
+COCO_WHOLE_BODY_NAMES = (
+    COCO_NAMES + FEET_NAMES + _OPENPOSE_HANDS
+    + _face_contour_names() + _facial_landmark_names()
+)
+
+# CMU Panoptic (reference PANOPTIC_KEYPOINT_NAMES).
+PANOPTIC_NAMES = (
+    [
+        "neck", "nose", "pelvis",
+        "left_shoulder", "left_elbow", "left_wrist",
+        "left_hip", "left_knee", "left_ankle",
+        "right_shoulder", "right_elbow", "right_wrist",
+        "right_hip", "right_knee", "right_ankle",
+        "left_eye", "left_ear", "right_eye", "right_ear",
     ]
+    + _OPENPOSE_HANDS
+    + _facial_landmark_names() + _face_contour_names()
+)
+
+POSETRACK_NAMES = [
+    "nose", "neck", "head_top", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle", "pelvis",
+]
+
+AICH_NAMES = [
+    "right_shoulder", "right_elbow", "right_wrist",
+    "left_shoulder", "left_elbow", "left_wrist",
+    "right_hip", "right_knee", "right_ankle",
+    "left_hip", "left_knee", "left_ankle",
+    "head_top", "neck", "pelvis",
+]
+
+# OpenPose BODY_18 (no mid-hip/pelvis, reference OPENPOSE18_..._v1).
+OPENPOSE18_NAMES = [n for n in _OPENPOSE_BODY19 if n != "pelvis"]
+
+
+def _mano_names(side: str = "") -> List[str]:
+    """MANO's 16 joints: wrist + 3 per finger, fingers alphabetical. With
+    a side, the SMPL-H per-side block plus the wrist."""
+    p = f"{side}_" if side else ""
+    return [f"{p}wrist"] + [
+        f"{p}{finger}{i}"
+        for finger in ("index", "middle", "pinky", "ring", "thumb")
+        for i in (1, 2, 3)
+    ]
+
+
+def _finger_tips(side: str = "") -> List[str]:
+    p = f"{side}_" if side else ""
+    return [f"{p}{finger}" for finger in FINGERS]
+
+
+MANO_NAMES = _mano_names()
+HO3D_NAMES = MANO_NAMES + _finger_tips()
+
+
+def _youtube3d_hand_names(side: str) -> List[str]:
+    return _mano_names(side) + _finger_tips(side)
+
+
+def _interhand_names(side: str) -> List[str]:
+    out = []
+    for finger in FINGERS:
+        out += [f"{side}_{finger}"] + [
+            f"{side}_{finger}{i}" for i in (3, 2, 1)
+        ]
+    return out + [f"{side}_wrist"]
+
+
+# FLAME's 5 joints + 68 landmarks, inner-face first (reference
+# FLAME_KEYPOINT_NAMES; FFHQ annotates the same set).
+FLAME_NAMES = (
+    ["global", "neck", "jaw", "left_eye", "right_eye"]
+    + _facial_landmark_names() + _face_contour_names()
+)
+
+# 68-landmark face-only sets, contour first (reference VGGFACE2_NAMES).
+VGGFACE2_NAMES = _face_contour_names() + _facial_landmark_names()
+
+
+def _smplx_extra_names() -> List[str]:
+    """The OpenPose-style landmark tail appended to the 55 SMPL-X joints
+    in the model's 144-keypoint output (reference EHF_KEYPOINTS[55:])."""
+    return (
+        ["nose", "right_eye", "left_eye", "right_ear", "left_ear"]
+        + FEET_NAMES
+        + _finger_tips("left") + _finger_tips("right")
+    )
+
+
+EHF_NAMES = SMPLX_NAMES[:55] + _smplx_extra_names() + FACIAL_LANDMARKS
+
+# AGORA's SMPL-X fits: same layout, SMPL-H/F eye names, no contour
+# (reference AGORA_NAMES).
+AGORA_NAMES = (
+    SMPLX_NAMES[:23]
+    + ["left_eye_smplhf", "right_eye_smplhf"]
+    + SMPLX_NAMES[25:55]
+    + _smplx_extra_names()
+    + _facial_landmark_names()
 )
 
 KEYPOINT_NAMES_DICT: Dict[str, List[str]] = {
     "smpl": SMPL_NAMES,
     "smplh": SMPLH_NAMES,
     "smplx": SMPLX_NAMES,
+    "mano": MANO_NAMES,
+    "mano-from-smplx": SMPLX_NAMES,
+    "flame-from-smplx": SMPLX_NAMES,
+    "flame": FLAME_NAMES,
+    "openpose18_v1": OPENPOSE18_NAMES,
     "openpose19_v1": OPENPOSE19_NAMES,
     "openpose25_v1": OPENPOSE25_NAMES,
-    "coco": COCO_NAMES,
-    "lsp": LSP_NAMES,
-    "3dpw": THREEDPW_NAMES,
-    "h36m": H36M_NAMES,
     "mpii": MPII_NAMES,
+    "ffhq": FLAME_NAMES,
+    "ehf": EHF_NAMES,
+    "coco": COCO_NAMES,
+    "whole-coco": COCO_WHOLE_BODY_NAMES,
+    "3dpw": THREEDPW_NAMES,
+    "posetrack": POSETRACK_NAMES,
+    "aich": AICH_NAMES,
     "spin": SPIN_NAMES,
+    "spinx": SPINX_NAMES,
+    "panoptic": PANOPTIC_NAMES,
+    "freihand-left": _openpose_hand_names("left"),
+    "freihand-right": _openpose_hand_names("right"),
+    "lsp": LSP_NAMES,
+    "raw_h36m": RAW_H36M_NAMES,
+    "h36m": H36M_NAMES,
+    "mtc-right": _openpose_hand_names("right"),
+    "mtc-left": _openpose_hand_names("left"),
+    "ho3d": HO3D_NAMES,
+    "vggface2": VGGFACE2_NAMES,
+    "ethnicity": VGGFACE2_NAMES,
+    "youtube3d-hand-right": _youtube3d_hand_names("right"),
+    "youtube3d-hand-left": _youtube3d_hand_names("left"),
+    "interhand26m-right": _interhand_names("right"),
+    "interhand26m-left": _interhand_names("left"),
+    "agora": AGORA_NAMES,
+    # Our extension: the 49-joint layout SPIN npz archives store
+    # (25 OpenPose body joints + the 24 GT joints). Not in the reference
+    # registry, which only names the GT block ('spin').
+    "spin49": _OPENPOSE_BODY19[:19] + FEET_NAMES + SPIN_NAMES,
 }
 
 
@@ -219,8 +374,21 @@ _TORSO_UPPER = {
 }
 
 
+# Names the reference's KEYPOINT_PARTS table simply does not list (they
+# belong to no part): H36M/MPII bookkeeping joints, SMPL fingertip stubs,
+# FLAME's root, AGORA's eye naming, and the side-less MANO joints.
+_UNASSIGNED = {
+    "left_hand", "right_hand", "thorax", "spine", "h36m_jaw", "h36m_head",
+    "upper_neck", "neck/nose", "global", "left_eye_smplhf",
+    "right_eye_smplhf", "pelvis_(mpii)", "thorax_(mpii)", "spine_(h36m)",
+    "jaw_(h36m)",
+}
+
+
 def keypoint_parts(name: str) -> Tuple[str, ...]:
     """Parts a keypoint belongs to."""
+    if name in _UNASSIGNED:
+        return ()
     if name in ("pelvis", "left_hip", "right_hip", "spine1"):
         return ("body", "torso")
     if name == "neck":
@@ -242,8 +410,16 @@ def keypoint_parts(name: str) -> Tuple[str, ...]:
         for side in ("left", "right") for f in FINGERS
     ):
         return ("hand",)
-    # knees, ankles, feet, toes, heels, left_hand/right_hand tips
-    return ("body",)
+    # knees, ankles, feet, toes, heels
+    if any(
+        name.endswith(s)
+        for s in ("_knee", "_ankle", "_big_toe", "_small_toe", "_heel",
+                  "_foot")
+    ):
+        return ("body",)
+    # Everything else (side-less MANO joints, dataset bookkeeping joints)
+    # is part-less, matching the reference table's omissions.
+    return ()
 
 
 @lru_cache(maxsize=None)

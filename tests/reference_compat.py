@@ -173,6 +173,8 @@ def _load_file(fullname: str, relpath: str):
 
 _PACKAGES = {
     "human_shape": "regressor/human_shape",
+    "human_shape.data": "regressor/human_shape/data",
+    "human_shape.data.utils": "regressor/human_shape/data/utils",
     "human_shape.models": "regressor/human_shape/models",
     "human_shape.models.body_models":
         "regressor/human_shape/models/body_models",
@@ -207,11 +209,27 @@ def setup():
         "human_shape.utils.rotation_utils",
         "regressor/human_shape/utils/rotation_utils.py",
     )
+    bool_mod = _load_file(
+        "human_shape.utils.bool_utils",
+        "regressor/human_shape/utils/bool_utils.py",
+    )
     utils_pkg = sys.modules["human_shape.utils"]
-    for mod in (typing_mod, rot_mod):
+    for mod in (typing_mod, rot_mod, bool_mod):
         for key in dir(mod):
             if not key.startswith("_"):
                 setattr(utils_pkg, key, getattr(mod, key))
+
+    # np_utils needs open3d; the only np_utils name the data-utils layer
+    # imports is binarize — a two-line thresholding helper we provide
+    # directly (np_utils.py:18-26).
+    import numpy as _np
+
+    def binarize(array, thresh=-1, dtype=_np.float32):
+        if thresh > 0:
+            return (array >= thresh).astype(dtype)
+        return (array > 0).astype(dtype)
+
+    utils_pkg.binarize = binarize
 
     # nnutils: the real __init__ is a single re-export; load it directly.
     _ensure_module(
@@ -293,6 +311,18 @@ def load_ref_polynomial():
     return _load_file(
         "attributes.attributes_betas.polynomial",
         "attributes/attributes/attributes_betas/polynomial.py",
+    )
+
+
+def load_ref_keypoint_names():
+    setup()
+    _load_file(
+        "human_shape.data.utils.keypoints",
+        "regressor/human_shape/data/utils/keypoints.py",
+    )
+    return _load_file(
+        "human_shape.data.utils.keypoint_names",
+        "regressor/human_shape/data/utils/keypoint_names.py",
     )
 
 

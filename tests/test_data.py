@@ -157,3 +157,41 @@ def test_train_transforms_run():
         out = tf(sample, np.random.default_rng(seed))
         assert out["cropped_image"].shape == (128, 128, 3)
         assert np.isfinite(out["cropped_image"]).all()
+
+
+def test_parametric_dataset_native_sources():
+    """EHF/SPIN/SPINX/H36MX fits remap from their own native keypoint
+    orderings, not a hardcoded openpose25_v1 (reference registry)."""
+    from shapy_tpu.data.datasets.parametric import (
+        PARAMETRIC_SOURCES,
+        ParametricFitsDataset,
+    )
+
+    assert PARAMETRIC_SOURCES["ehf"] == "ehf"
+    assert PARAMETRIC_SOURCES["spinx"] == "spinx"
+    for name, fmt in PARAMETRIC_SOURCES.items():
+        assert fmt in K.KEYPOINT_NAMES_DICT, (name, fmt)
+        ds = ParametricFitsDataset(dataset_name=name)
+        assert ds.keypoint_format == fmt
+    # explicit override wins
+    ds = ParametricFitsDataset(dataset_name="spin",
+                               keypoint_format="openpose25_v1")
+    assert ds.keypoint_format == "openpose25_v1"
+
+
+def test_remap_roundtrip_all_reference_formats(rng):
+    """map_keypoints zero-fills missing names and preserves shared names
+    for every format in the registry (remapped into smplx order)."""
+    for fmt, names in K.KEYPOINT_NAMES_DICT.items():
+        kp = rng.normal(size=(1, len(names), 3)).astype(np.float32)
+        out, _ = K.map_keypoints(kp, fmt, "smplx")
+        src_idx, dst_idx = K.keypoint_mapping(fmt, "smplx")
+        assert out.shape[1] == len(K.KEYPOINT_NAMES_DICT["smplx"])
+        if len(src_idx):
+            np.testing.assert_array_equal(
+                out[:, dst_idx], kp[:, src_idx]
+            )
+        # untouched rows are zero
+        mask = np.ones(out.shape[1], bool)
+        mask[dst_idx] = False
+        assert np.all(out[:, mask] == 0)

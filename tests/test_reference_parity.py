@@ -342,6 +342,47 @@ def test_iterative_regression_stage_loop_parity(rng):
 
 
 # ---------------------------------------------------------------------------
+# keypoint format registry
+# ---------------------------------------------------------------------------
+
+def test_keypoint_registry_matches_reference():
+    """Every reference format's name table is reproduced exactly
+    (reference keypoint_names.py KEYPOINT_NAMES_DICT, all ~34 formats)."""
+    from shapy_tpu.data.keypoints import KEYPOINT_NAMES_DICT as mine
+
+    ref = rc.load_ref_keypoint_names().KEYPOINT_NAMES_DICT
+    missing = [k for k in ref if k not in mine]
+    assert not missing, f"formats missing from rebuild: {missing}"
+    for fmt, names in ref.items():
+        assert list(mine[fmt]) == list(names), (
+            f"format {fmt!r} differs: "
+            + str([
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(mine[fmt], names))
+                if a != b
+            ][:10])
+            + f" (lens {len(mine[fmt])} vs {len(names)})"
+        )
+
+
+def test_keypoint_parts_match_reference():
+    """Part index sets match the reference KEYPOINT_PARTS_DICT for the
+    formats the losses/visualisers slice."""
+    from shapy_tpu.data.keypoints import get_part_idxs
+
+    kn = rc.load_ref_keypoint_names()
+    for fmt in kn.KEYPOINT_NAMES_DICT:
+        ref_parts = kn.KEYPOINT_PARTS_DICT[fmt]
+        mine = get_part_idxs(fmt)
+        for part in ("body", "left_hand", "right_hand", "face", "head"):
+            if part not in ref_parts:
+                continue
+            assert sorted(mine[part].tolist()) == sorted(
+                np.asarray(ref_parts[part]).tolist()
+            ), f"{fmt}/{part}"
+
+
+# ---------------------------------------------------------------------------
 # HRNet-W48 full graph
 # ---------------------------------------------------------------------------
 
