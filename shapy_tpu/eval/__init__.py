@@ -4,6 +4,7 @@ from shapy_tpu.eval.metrics import (  # noqa: F401
     build_alignment,
     no_alignment,
     point_error,
+    point_fscore,
     procrustes_align,
     root_align,
     scale_align,

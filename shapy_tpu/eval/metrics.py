@@ -33,6 +33,54 @@ def point_error(pred: Array, gt: Array) -> Array:
     return jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))
 
 
+def _nn_dists(a: Array, b: Array, chunk: int = 2048) -> Array:
+    """For each point in ``a`` (N, 3), the distance to its nearest
+    neighbour in ``b`` (M, 3). Chunked |a-b|^2 expansion: each chunk is a
+    (chunk, M) matmul + rowmin, so the whole sweep streams through the
+    MXU instead of materialising an (N, M) matrix."""
+    N = a.shape[0]
+    pad = (-N) % chunk
+    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
+    a_chunks = a_pad.reshape(-1, chunk, 3)
+    b_sq = jnp.sum(b * b, axis=-1)
+
+    def per_chunk(ac):
+        d2 = (
+            jnp.sum(ac * ac, axis=-1)[:, None]
+            - 2.0 * ac @ b.T
+            + b_sq[None]
+        )
+        # The expansion suffers f32 cancellation near zero; use it only to
+        # pick the nearest neighbour, then recompute that one distance
+        # exactly from the coordinate difference.
+        idx = jnp.argmin(d2, axis=-1)
+        diff = ac - b[idx]
+        return jnp.sum(diff * diff, axis=-1)
+
+    d2 = jax.lax.map(per_chunk, a_chunks).reshape(-1)[:N]
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def point_fscore(pred: Array, gt: Array, thresh: float) -> dict:
+    """F-score between two point clouds at a distance threshold
+    (reference metrics.py:306-330, open3d nearest-neighbour distances).
+
+    Note: the reference computes 'recall' from pred->gt distances and
+    'precision' from gt->pred (swapped vs. the textbook convention); that
+    behaviour is preserved exactly.
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    pred_to_gt = _nn_dists(pred, gt)
+    gt_to_pred = _nn_dists(gt, pred)
+    recall = jnp.mean(pred_to_gt < thresh)
+    precision = jnp.mean(gt_to_pred < thresh)
+    denom = recall + precision
+    fscore = jnp.where(denom > 0.0, 2 * recall * precision
+                       / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    return {"fscore": fscore, "precision": precision, "recall": recall}
+
+
 # -- alignments -------------------------------------------------------------
 
 

@@ -36,6 +36,38 @@ def weak_persp_to_blender(
     return transl
 
 
+# Pyrender-like rig: an ambient floor plus three directional lights
+# (key / fill / back), matching the HDRenderer's look (plot_utils.py:616+)
+# closely enough for overlay-quality parity.
+_LIGHT_RIG = (
+    ((0.4, 0.3, -0.8), 0.55),
+    ((-0.5, 0.2, -0.6), 0.25),
+    ((0.0, -0.6, -0.4), 0.20),
+)
+_AMBIENT = 0.30
+
+
+def _vertex_normals(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals."""
+    tri = v[f]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(vn, f[:, k], fn)
+    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+    return vn
+
+
+def _shade_normals(n: np.ndarray) -> np.ndarray:
+    """Ambient + multi-directional Lambertian shading of unit normals."""
+    s = np.full(n.shape[:-1], _AMBIENT)
+    for direction, intensity in _LIGHT_RIG:
+        d = np.asarray(direction, np.float64)
+        d /= np.linalg.norm(d)
+        s = s + intensity * np.clip(-(n @ d), 0.0, 1.0)
+    return np.clip(s, 0.0, 1.0)
+
+
 def rasterize_mesh(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -43,11 +75,14 @@ def rasterize_mesh(
     focal_length: float = DEFAULT_FOCAL_LENGTH,
     camera_center: Optional[np.ndarray] = None,
     light_dir: Tuple[float, float, float] = (0.3, 0.3, -1.0),
+    shading_mode: str = "smooth",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Perspective-project and z-buffer rasterise one mesh.
 
     vertices: (V, 3) in camera coordinates (+z away from camera);
     returns (shading (H, W) float, mask (H, W) bool).
+    shading_mode: 'smooth' interpolates per-vertex normals
+    (Gouraud, pyrender-overlay look); 'flat' shades per face.
     """
     H, W = image_size
     if camera_center is None:
@@ -60,13 +95,19 @@ def rasterize_mesh(
     py = focal_length * v[:, 1] / z + camera_center[1]
     pts = np.stack([px, py], axis=1)
 
-    # Face normals for Lambertian shading
-    tri = v[f]
-    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
-    light = np.asarray(light_dir, np.float64)
-    light /= np.linalg.norm(light)
-    shade = np.clip(-n @ light, 0.15, 1.0)
+    smooth = shading_mode == "smooth"
+    if smooth:
+        vert_shade = _shade_normals(_vertex_normals(v, f))
+        tri_shade = vert_shade[f]  # (F, 3)
+        shade = tri_shade.mean(axis=1)  # fallback for degenerate tris
+    else:
+        tri = v[f]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        light = np.asarray(light_dir, np.float64)
+        light /= np.linalg.norm(light)
+        shade = np.clip(-n @ light, 0.15, 1.0)
+        tri_shade = None
 
     depth = np.full((H, W), np.inf)
     color = np.zeros((H, W))
@@ -101,7 +142,12 @@ def rasterize_mesh(
         closer = inside & (zface < sub_depth)
         sub_depth[closer] = zface[closer]
         color_sub = color[ymin:ymax, xmin:xmax]
-        color_sub[closer] = shade[fi]
+        if smooth:
+            pix_shade = (w0 * tri_shade[fi, 0] + w1 * tri_shade[fi, 1]
+                         + w2 * tri_shade[fi, 2])
+            color_sub[closer] = pix_shade[closer]
+        else:
+            color_sub[closer] = shade[fi]
 
     mask = np.isfinite(depth)
     return color, mask
@@ -115,6 +161,7 @@ def render_mesh_overlay(
     focal_length: float = DEFAULT_FOCAL_LENGTH,
     color: Tuple[float, float, float] = (0.65, 0.75, 0.95),
     alpha: float = 0.9,
+    shading_mode: str = "smooth",
 ) -> np.ndarray:
     """Blend a shaded mesh over an RGB image (reference OverlayRenderer)."""
     img = np.asarray(image, np.float32)
@@ -122,7 +169,8 @@ def render_mesh_overlay(
     v = np.asarray(vertices, np.float64)
     if transl is not None:
         v = v + np.asarray(transl).reshape(1, 3)
-    shading, mask = rasterize_mesh(v, faces, (H, W), focal_length)
+    shading, mask = rasterize_mesh(v, faces, (H, W), focal_length,
+                                   shading_mode=shading_mode)
     out = img.copy()
     tint = np.asarray(color, np.float32)[None, None] * shading[..., None]
     out[mask] = (1 - alpha) * out[mask] + alpha * tint[mask]

@@ -160,3 +160,35 @@ def test_image_summaries(rng):
         + np.asarray([0.485, 0.456, 0.406]), 0, 1
     )
     assert np.abs(grid[:, :64] - bg).max() > 0.1
+
+
+def test_point_fscore_matches_bruteforce():
+    """point_fscore == brute-force nearest-neighbour computation
+    (reference metrics.py:306-330 semantics, incl. the swapped
+    precision/recall naming)."""
+    from shapy_tpu.eval import point_fscore
+
+    rng = np.random.default_rng(7)
+    pred = rng.normal(size=(700, 3)).astype(np.float32)
+    gt = (rng.normal(size=(900, 3)) * 1.1).astype(np.float32)
+
+    d = np.linalg.norm(pred[:, None] - gt[None], axis=-1)
+    pred_to_gt = d.min(axis=1)
+    gt_to_pred = d.min(axis=0)
+    thresh = 0.5
+    recall = (pred_to_gt < thresh).mean()
+    precision = (gt_to_pred < thresh).mean()
+    fscore = 2 * recall * precision / (recall + precision)
+
+    out = point_fscore(pred, gt, thresh)
+    assert abs(float(out["recall"]) - recall) < 1e-6
+    assert abs(float(out["precision"]) - precision) < 1e-6
+    assert abs(float(out["fscore"]) - fscore) < 1e-6
+
+
+def test_point_fscore_identical_clouds():
+    from shapy_tpu.eval import point_fscore
+
+    pts = np.random.default_rng(1).normal(size=(300, 3)).astype(np.float32)
+    out = point_fscore(pts, pts, 1e-4)
+    assert float(out["fscore"]) == 1.0
