@@ -76,8 +76,10 @@ def build_demo_regressor(exp_cfg: Dict, checkpoint_path: str = ""):
         or not os.path.isdir(model_folder)
     )
     if use_synthetic:
+        subdiv = int(os.environ.get("SHAPY_TPU_TEST_SUBDIV", "5"))
         body_model = SMPLX(
-            model_data=make_synthetic_model_data("smplx", subdivisions=5),
+            model_data=make_synthetic_model_data("smplx",
+                                                 subdivisions=subdiv),
             num_betas=int((smplx_cfg.get("betas") or {}).get("num", 10)),
         )
         anchors = MeasurementAnchors.synthetic(
@@ -150,13 +152,13 @@ def main(
     save_params: bool = True,
     save_mesh: bool = True,
     split: str = "test",
+    batch_size: int = 1,
 ) -> int:
     import jax
     import jax.numpy as jnp
 
     from shapy_tpu.data.datasets import OpenPoseDataset
     from shapy_tpu.data.transforms import build_transforms
-    from shapy_tpu.render import render_mesh_overlay, save_ply
 
     os.makedirs(demo_output_folder, exist_ok=True)
 
@@ -188,85 +190,144 @@ def main(
     def forward(params, images):
         return regressor.apply(params, images)
 
-    total_time, cnt = 0.0, 0
-    for idx in range(len(dataset)):
-        sample = dataset[idx]
-        if sample is None:
-            continue
-        images = jnp.asarray(sample["cropped_image"])[None]
-
-        start = time.perf_counter()
-        out = forward(regressor.params, images)
-        jax.block_until_ready(out["proj_joints"])
-        total_time += time.perf_counter() - start
-        cnt += 1
-
-        stage = out[f"stage_{regressor.num_stages - 1:02d}"]
-        cam = out["camera_parameters"]
-        full_img = sample.get("image")
-        H, W = (full_img.shape[:2] if full_img is not None else (256, 256))
-        hd_params = weak_persp_to_blender(
-            np.asarray(sample["orig_center"]).reshape(1, 2),
-            np.asarray([sample["orig_bbox_size"]]),
-            np.asarray(cam["scale"]),
-            np.asarray(cam["translation"]),
-            H, W,
+    @jax.jit
+    def forward_fused(params, full_images, affines):
+        """Batched fused path: on-device crop + normalize + forward
+        (regressor.apply_from_full_images)."""
+        return regressor.apply_from_full_images(
+            params, full_images, affines,
+            crop_size=int(ds_cfg.get("crop_size", 256)),
         )
 
-        imgname = os.path.splitext(sample["fname"])[0]
-        vertices = np.asarray(stage["vertices"][0])
-        faces = regressor.model.faces
-
-        if save_params:
-            out_params: Dict[str, np.ndarray] = {"fname": sample["fname"]}
-            for key, val in stage.items():
-                if hasattr(val, "shape"):
-                    out_params[key] = np.asarray(val)[0] if (
-                        getattr(val, "ndim", 0) > 0
-                        and val.shape[0] == 1
-                    ) else np.asarray(val)
-                elif isinstance(val, dict):  # measurements
-                    out_params[key] = {
-                        k: np.asarray(v)[0] for k, v in val.items()
-                    }
-            out_params["proj_joints"] = np.asarray(out["proj_joints"])[0]
-            for key, val in hd_params.items():
-                out_params[key] = (
-                    val[0] if np.ndim(val[0]) else float(val[0])
-                )
-            np.savez_compressed(
-                os.path.join(demo_output_folder, f"{imgname}.npz"),
-                **out_params,
+    def run_batch(samples):
+        """One forward over a batch of samples; returns the output dict."""
+        if batch_size > 1 and all(
+            s.get("image") is not None and "crop_to_image" in s
+            for s in samples
+        ):
+            # Pad full images to the batch max so one fused jit program
+            # crops all of them on device. Bottom/right zero-padding does
+            # not move crop->image coordinates.
+            Hm = max(s["image"].shape[0] for s in samples)
+            Wm = max(s["image"].shape[1] for s in samples)
+            full = np.zeros((len(samples), Hm, Wm, 3), np.float32)
+            for i, s in enumerate(samples):
+                h, w = s["image"].shape[:2]
+                full[i, :h, :w] = s["image"]
+            affines = np.stack(
+                [np.asarray(s["crop_to_image"], np.float32)
+                 for s in samples]
             )
-
-        if save_mesh:
-            save_ply(
-                os.path.join(demo_output_folder, f"{imgname}.ply"),
-                vertices + hd_params["transl"][0],
-                faces,
+            return forward_fused(
+                regressor.params, jnp.asarray(full), jnp.asarray(affines)
             )
+        images = jnp.asarray(
+            np.stack([s["cropped_image"] for s in samples])
+        )
+        return forward(regressor.params, images)
 
-        if save_vis and full_img is not None:
-            overlay = render_mesh_overlay(
-                full_img,
-                vertices,
-                faces,
-                transl=hd_params["transl"][0],
-                focal_length=DEFAULT_FOCAL_LENGTH,
-            )
-            import cv2
+    total_time, cnt = 0.0, 0
+    all_samples = [dataset[i] for i in range(len(dataset))]
+    all_samples = [s for s in all_samples if s is not None]
+    for lo in range(0, len(all_samples), max(batch_size, 1)):
+        chunk = all_samples[lo:lo + max(batch_size, 1)]
 
-            cv2.imwrite(
-                os.path.join(demo_output_folder, f"{imgname}_overlay.png"),
-                cv2.cvtColor(
-                    (np.clip(overlay, 0, 1) * 255).astype(np.uint8),
-                    cv2.COLOR_RGB2BGR,
-                ),
+        start = time.perf_counter()
+        out = run_batch(chunk)
+        jax.block_until_ready(out["proj_joints"])
+        total_time += time.perf_counter() - start
+        cnt += len(chunk)
+
+        for bi, sample in enumerate(chunk):
+            _save_sample_outputs(
+                regressor, out, bi, sample, demo_output_folder,
+                save_params, save_mesh, save_vis,
             )
 
     if cnt:
         print(f"Average inference time: {total_time / cnt}")
+        print(
+            f"Throughput: {cnt / total_time:.2f} images/sec "
+            f"(batch size {batch_size})"
+        )
     return 0
+
+
+def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
+                         save_params, save_mesh, save_vis):
+    """Write the per-image npz/ply/overlay outputs (schema identical to
+    the batch-1 demo and the reference demo.py:321-353)."""
+    import numpy as np
+
+    stage = out[f"stage_{regressor.num_stages - 1:02d}"]
+    cam = out["camera_parameters"]
+    full_img = sample.get("image")
+    H, W = (full_img.shape[:2] if full_img is not None else (256, 256))
+    hd_params = weak_persp_to_blender(
+        np.asarray(sample["orig_center"]).reshape(1, 2),
+        np.asarray([sample["orig_bbox_size"]]),
+        np.asarray(cam["scale"])[bi:bi + 1],
+        np.asarray(cam["translation"])[bi:bi + 1],
+        H, W,
+    )
+
+    imgname = os.path.splitext(sample["fname"])[0]
+    vertices = np.asarray(stage["vertices"][bi])
+    faces = regressor.model.faces
+
+    if save_params:
+        B = np.asarray(out["proj_joints"]).shape[0]
+        out_params: Dict[str, np.ndarray] = {"fname": sample["fname"]}
+        for key, val in stage.items():
+            if hasattr(val, "shape"):
+                # batched entries are sliced per sample; static ones
+                # (e.g. faces) are saved as-is
+                out_params[key] = np.asarray(val)[bi] if (
+                    getattr(val, "ndim", 0) > 0 and val.shape[0] == B
+                    and key != "faces"
+                ) else np.asarray(val)
+            elif isinstance(val, dict):  # measurements
+                out_params[key] = {
+                    k: np.asarray(v)[bi] for k, v in val.items()
+                }
+        out_params["proj_joints"] = np.asarray(out["proj_joints"])[bi]
+        for key, val in hd_params.items():
+            out_params[key] = (
+                val[0] if np.ndim(val[0]) else float(val[0])
+            )
+        np.savez_compressed(
+            os.path.join(demo_output_folder, f"{imgname}.npz"),
+            **out_params,
+        )
+
+    if save_mesh:
+        from shapy_tpu.render import save_ply
+
+        save_ply(
+            os.path.join(demo_output_folder, f"{imgname}.ply"),
+            vertices + hd_params["transl"][0],
+            faces,
+        )
+
+    if save_vis and full_img is not None:
+        from shapy_tpu.render import render_mesh_overlay
+
+        overlay = render_mesh_overlay(
+            full_img,
+            vertices,
+            faces,
+            transl=hd_params["transl"][0],
+            focal_length=DEFAULT_FOCAL_LENGTH,
+        )
+        import cv2
+
+        cv2.imwrite(
+            os.path.join(demo_output_folder, f"{imgname}_overlay.png"),
+            cv2.cvtColor(
+                (np.clip(overlay, 0, 1) * 255).astype(np.uint8),
+                cv2.COLOR_RGB2BGR,
+            ),
+        )
 
 
 def build_parser():
@@ -287,6 +348,10 @@ def build_parser():
     parser.add_argument("--save-mesh", dest="save_mesh", default=True,
                         type=lambda x: str(x).lower() in ("true", "1"))
     parser.add_argument("--split", default="test")
+    parser.add_argument("--batch-size", dest="batch_size", type=int,
+                        default=1,
+                        help="Images per forward pass. >1 routes through "
+                             "the fused on-device crop+normalize path.")
     return parser
 
 
@@ -304,5 +369,6 @@ if __name__ == "__main__":
             save_params=args.save_params,
             save_mesh=args.save_mesh,
             split=args.split,
+            batch_size=args.batch_size,
         )
     )

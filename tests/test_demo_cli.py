@@ -1,0 +1,95 @@
+"""Demo CLI: batch-1 reference behaviour and the batched fused-crop path.
+
+Runs on the real reference samples (images + OpenPose JSONs) with a tiny
+synthetic-body regressor. Checks the npz output schema stays identical
+between batch sizes (reference demo.py:321-353 schema) and that the
+fused on-device crop path produces results close to the host-crop path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+SAMPLES = "/root/reference/samples"
+
+
+def _demo_cfg():
+    return {
+        "body_model": {"type": "smplx", "model_folder": "",
+                       "smplx": {"betas": {"num": 10}}},
+        "network": {
+            "type": "SMPLXRegressor",
+            "smplx": {
+                "num_stages": 2,
+                "predict_hands": False,
+                "predict_face": False,
+                "backbone": {"type": "resnet", "depth": 18},
+                "mlp": {"layers": [32], "dropout": 0.0},
+            },
+        },
+        "datasets": {
+            "crop_size": 64,
+            "pose": {
+                "openpose": {
+                    "data_folder": SAMPLES,
+                    "img_folder": "images",
+                    "keyp_folder": "openpose",
+                }
+            },
+        },
+    }
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no samples")
+def test_demo_batch1_vs_batched(tmp_path, monkeypatch):
+    import shapy_tpu.cli.demo as demo_mod
+
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+
+    body = SMPLX(model_data=make_synthetic_model_data(
+        "smplx", subdivisions=1))
+    anchors = MeasurementAnchors.synthetic(
+        body.faces, np.asarray(body.params["v_template"]))
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=64)
+    built = {}
+
+    def builder(cfg, ckpt=""):
+        if "reg" not in built:
+            built["reg"] = build_body_head(
+                _demo_cfg(), body_model=body, measurements=meas
+            )
+        return built["reg"]
+
+    monkeypatch.setattr(demo_mod, "build_demo_regressor", builder)
+
+    out1 = tmp_path / "b1"
+    out4 = tmp_path / "b4"
+    rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out1),
+                       save_vis=False, batch_size=1)
+    assert rc == 0
+    rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out4),
+                       save_vis=False, batch_size=4)
+    assert rc == 0
+
+    npz1 = sorted(p for p in os.listdir(out1) if p.endswith(".npz"))
+    npz4 = sorted(p for p in os.listdir(out4) if p.endswith(".npz"))
+    assert npz1 == npz4 and len(npz1) >= 2
+
+    for name in npz1:
+        with np.load(out1 / name, allow_pickle=True) as d1, \
+                np.load(out4 / name, allow_pickle=True) as d4:
+            # byte-compatible schema: identical keys and shapes
+            assert sorted(d1.files) == sorted(d4.files)
+            for k in d1.files:
+                a, b = d1[k], d4[k]
+                assert a.shape == b.shape, (name, k)
+            # fused on-device crop ~ host cv2 crop: same prediction up to
+            # interpolation differences
+            np.testing.assert_allclose(
+                d1["betas"], d4["betas"], atol=0.15
+            )
+        # meshes written for both
+        assert os.path.exists(out4 / name.replace(".npz", ".ply"))
