@@ -1,12 +1,28 @@
 """Benchmark: HBW-val-style evaluation throughput on one chip.
 
-Measures the full SHAPY inference pipeline (HRNet-W48 backbone -> 3-stage
-iterative head -> SMPL-X LBS -> virtual measurements: mass, height, and the
-plane-slice + convex-hull chest/waist/hips) at eval batch size, end to end
-under one jit, and reports images/sec/chip.
+Two measurements:
+
+1. **Device throughput** (the headline ``value``): the full SHAPY
+   inference pipeline (HRNet-W48 backbone -> 3-stage iterative head ->
+   SMPL-X LBS -> virtual measurements: mass, height, plane-slice +
+   convex-hull chest/waist/hips) at eval batch size. Timed by chaining
+   ``k`` forward passes inside one jitted ``lax.fori_loop`` (each pass's
+   output is mixed back into the next input so none can be elided) and
+   fetching one scalar at the end — the only methodology that measures
+   device time truthfully here, because on tunnelled-TPU setups
+   ``block_until_ready`` does not synchronise and per-call dispatch pays
+   the tunnel round trip.
+
+2. **End-to-end throughput** (``e2e_images_per_sec``): generated-on-disk
+   JPEGs + OpenPose JSONs -> thread-pool DataLoader -> host crop/collate
+   -> per-batch jitted forward with an on-device metric accumulator ->
+   single final fetch. Includes image decode, crop, and host<->device
+   transfer. On a tunnelled dev chip this is dominated by per-dispatch
+   HTTP latency (~100 ms/batch), so it undershoots what the same code
+   does on locally-attached TPU; both numbers are reported.
 
 Baseline note: the reference publishes no benchmark numbers (BASELINE.md).
-``vs_baseline`` is computed against an estimated 90 images/sec for the
+``vs_baseline`` divides by an **estimated** 90 images/sec for the
 reference PyTorch pipeline on one A100 (HRNet-W48 @ 256x256 fp32 batched
 inference + CUDA BVH measurement kernel + per-image CPU scipy convex
 hulls; the hull loop is the reference's bottleneck). The BASELINE.json
@@ -14,11 +30,118 @@ target is >= 5x A100 on v5e, i.e. vs_baseline >= 5.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-A100_REFERENCE_IMGS_PER_SEC = 90.0
+A100_REFERENCE_IMGS_PER_SEC = 90.0  # estimated, not measured (see above)
+
+
+def _chained_device_time_ms(body, params, x0, ks=(2, 18), reps=3):
+    """Per-iteration device time: run `body` k times chained inside one
+    jit, fetch one element, difference the two k's (min over reps beats
+    tunnel jitter)."""
+    import jax
+
+    best = {}
+    for k in ks:
+
+        @jax.jit
+        def run(p, x):
+            return jax.lax.fori_loop(0, k, lambda i, x: body(p, x), x)
+
+        r = run(params, x0)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        times = []
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            r = run(params, x0)
+            _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+            times.append(time.perf_counter() - t0)
+        best[k] = min(times)
+    k0, k1 = ks
+    return (best[k1] - best[k0]) / (k1 - k0) * 1000.0
+
+
+def _make_fake_openpose_tree(root: str, n_images: int, size=(480, 360)):
+    """JPEGs + OpenPose JSONs on disk for the end-to-end mode."""
+    import cv2
+
+    img_dir = os.path.join(root, "images")
+    kp_dir = os.path.join(root, "keypoints")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(kp_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    H, W = size
+    for i in range(n_images):
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, f"img{i:04d}.jpg"), img)
+        body = np.zeros((25, 3))
+        body[:, 0] = rng.uniform(0.2 * W, 0.8 * W, 25)
+        body[:, 1] = rng.uniform(0.1 * H, 0.9 * H, 25)
+        body[:, 2] = 0.9
+        with open(os.path.join(kp_dir, f"img{i:04d}.json"), "w") as f:
+            json.dump(
+                {"people": [
+                    {"pose_keypoints_2d": body.reshape(-1).tolist()}
+                ]}, f,
+            )
+
+
+def _e2e_images_per_sec(regressor, batch_size: int, n_images: int) -> float:
+    """Loader -> collate -> jitted forward -> on-device accumulator."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from shapy_tpu.data.build import DataLoader, SequentialBatchSampler
+    from shapy_tpu.data.datasets.openpose import OpenPoseDataset
+    from shapy_tpu.data.transforms import build_transforms
+
+    with tempfile.TemporaryDirectory(prefix="shapy_bench_") as root:
+        _make_fake_openpose_tree(root, n_images)
+        transforms = build_transforms({"crop_size": 256}, is_train=False)
+        dataset = OpenPoseDataset(
+            data_folder=root, img_folder="images", keyp_folder="keypoints",
+            transforms=transforms, split="test",
+        )
+
+        @jax.jit
+        def step(params, acc, images):
+            out = regressor.apply(params, images)
+            last = out[f"stage_{regressor.num_stages - 1:02d}"]
+            return acc + jnp.sum(last["betas"] ** 2)
+
+        def collate(samples):
+            samples = [s for s in samples if s is not None]
+            if not samples:
+                return None
+            return np.stack([s["cropped_image"] for s in samples])
+
+        loader = DataLoader(
+            [dataset],
+            SequentialBatchSampler(len(dataset), batch_size,
+                                   drop_last=True),
+            collate, num_workers=4, prefetch=4,
+        )
+
+        # Warm up the compile outside the timed window.
+        acc = jnp.zeros((), jnp.float32)
+        warm = next(iter(loader))
+        acc = step(regressor.params, acc, jnp.asarray(warm))
+        _ = float(acc)
+
+        count = 0
+        acc = jnp.zeros((), jnp.float32)
+        start = time.perf_counter()
+        for batch in loader:
+            acc = step(regressor.params, acc, jnp.asarray(batch))
+            count += batch.shape[0]
+        _ = float(acc)  # single final sync
+        elapsed = time.perf_counter() - start
+    return count / elapsed if count else 0.0
 
 
 def main() -> None:
@@ -26,8 +149,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_flagship
-
-    import os
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     # subdivisions=5 -> 10242 vertices / 20480 faces, matching the real
@@ -37,34 +158,31 @@ def main() -> None:
     if os.environ.get("BENCH_BF16", "1") == "1":
         regressor.backbone_compute_dtype = jnp.bfloat16
 
-    @jax.jit
-    def forward(params, images):
+    def body(params, images):
         out = regressor.apply(params, images)
-        last = out["stage_02"]
-        return (
-            last["betas"],
-            last["v_shaped"],
-            out["proj_joints"],
-            out["measurements"],
+        last = out[f"stage_{regressor.num_stages - 1:02d}"]
+        mix = last["betas"].mean() + out["proj_joints"].mean()
+        mix = mix + sum(
+            v.mean()
+            for v in jax.tree_util.tree_leaves(out["measurements"])
         )
+        return images + mix.astype(images.dtype) * 1e-6
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.normal(size=(batch_size, 256, 256, 3)).astype(np.float32)
     )
-    params = regressor.params
 
-    # Warmup / compile
-    jax.block_until_ready(forward(params, images))
+    ms = _chained_device_time_ms(body, regressor.params, images)
+    imgs_per_sec = batch_size / ms * 1000.0
 
-    iters = 10
-    start = time.perf_counter()
-    for _ in range(iters):
-        result = forward(params, images)
-    jax.block_until_ready(result)
-    elapsed = time.perf_counter() - start
+    e2e = 0.0
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        e2e = _e2e_images_per_sec(
+            regressor, batch_size,
+            n_images=int(os.environ.get("BENCH_E2E_IMAGES", "512")),
+        )
 
-    imgs_per_sec = batch_size * iters / elapsed
     print(
         json.dumps(
             {
@@ -74,6 +192,12 @@ def main() -> None:
                 "vs_baseline": round(
                     imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3
                 ),
+                "vs_baseline_note":
+                    "baseline is an ESTIMATED 90 img/s A100 figure "
+                    "(reference publishes no numbers)",
+                "timing": "device (chained fori_loop, single fetch)",
+                "batch_size": batch_size,
+                "e2e_images_per_sec": round(e2e, 2),
             }
         )
     )

@@ -317,6 +317,12 @@ def build_all_data_loaders(
             sampler = SequentialBatchSampler(
                 total, part_batch[part], drop_last=is_train
             )
+        if bool(ds_cfg.get("shard_by_process", True)):
+            # Multi-host: each process keeps its strided slice of every
+            # global batch (no-op single-process).
+            from shapy_tpu.data.samplers import shard_sampler_by_process
+
+            sampler = shard_sampler_by_process(sampler)
 
         def make_collate():
             return lambda samples: collate_batch(

@@ -155,3 +155,38 @@ class ShapeSampler:
             if self.shuffle:
                 self.rng.shuffle(idxs)
             yield idxs
+
+
+class ShardedSampler:
+    """Per-process shard of a global batch sampler (multi-host input).
+
+    Every process iterates the SAME global batch stream (same seed) and
+    keeps the ``shard_id``-th strided slice of each batch, so together
+    the processes cover each global batch exactly once — the host-sharded
+    replacement for the reference's single-process loaders (SURVEY §2.8:
+    per-host EqualSampler logic). Local batch = batch_size / num_shards.
+    """
+
+    def __init__(self, sampler, num_shards: int = 1, shard_id: int = 0):
+        assert 0 <= shard_id < num_shards
+        self.sampler = sampler
+        self.num_shards = int(num_shards)
+        self.shard_id = int(shard_id)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self):
+        for idxs in self.sampler:
+            yield np.asarray(idxs)[self.shard_id::self.num_shards]
+
+
+def shard_sampler_by_process(sampler):
+    """Wrap with the current jax process topology (no-op single-host)."""
+    import jax
+
+    n = jax.process_count()
+    if n <= 1:
+        return sampler
+    return ShardedSampler(sampler, num_shards=n,
+                          shard_id=jax.process_index())

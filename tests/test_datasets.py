@@ -310,3 +310,28 @@ def test_openpose_tracks_dataset():
     assert "track_id" in sample
     tracks = ds.tracks()
     assert sum(len(v) for v in tracks.values()) == len(ds)
+
+
+def test_sharded_sampler_partitions_batches():
+    """Two shards of the same sampler cover each global batch exactly
+    once, disjointly (multi-host input pipeline)."""
+    from shapy_tpu.data.samplers import ShardedSampler
+    from shapy_tpu.data.build import SequentialBatchSampler
+
+    base = SequentialBatchSampler(32, 8, drop_last=True)
+    s0 = ShardedSampler(SequentialBatchSampler(32, 8, drop_last=True),
+                        num_shards=2, shard_id=0)
+    s1 = ShardedSampler(SequentialBatchSampler(32, 8, drop_last=True),
+                        num_shards=2, shard_id=1)
+    for full, a, b in zip(iter(base), iter(s0), iter(s1)):
+        assert len(a) == len(b) == 4
+        merged = sorted(np.concatenate([a, b]).tolist())
+        assert merged == sorted(np.asarray(full).tolist())
+
+
+def test_shard_sampler_by_process_single_host_noop():
+    from shapy_tpu.data.samplers import shard_sampler_by_process
+    from shapy_tpu.data.build import SequentialBatchSampler
+
+    s = SequentialBatchSampler(16, 4)
+    assert shard_sampler_by_process(s) is s

@@ -89,55 +89,3 @@ def test_fused_lbs_nondivisible_tile(rng, smplx_data):
         np.asarray(out["vertices"][0]),
         np.asarray(smplx_data["v_template"]), atol=1e-5,
     )
-
-
-def test_fused_measurements_matches_jnp(rng):
-    """Fused plane-slice + hull + volume kernel vs the jnp measure path."""
-    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
-    from shapy_tpu.models.body.assets import icosphere
-    from shapy_tpu.ops.measure_pallas import fused_measurements
-    from shapy_tpu.core.geometry import signed_volume
-
-    verts, faces = icosphere(3)
-    verts = verts * np.asarray([0.3, 0.8, 0.25])
-    B = 2
-    tris = jnp.asarray(
-        np.stack([verts[faces], verts[faces] * 1.1]), jnp.float32
-    )
-    anchors = MeasurementAnchors.synthetic(faces, verts)
-    meas = BodyMeasurements(anchors=anchors, num_hull_directions=256)
-    ref = meas.forward(tris)["measurements"]
-
-    heights = jnp.stack(
-        [ref[k]["plane_height"] for k in ("chest", "waist", "hips")],
-        axis=1,
-    )
-    circ, vol = fused_measurements(
-        tris, heights, num_directions=256, tile=512, interpret=True
-    )
-    for i, k in enumerate(("chest", "waist", "hips")):
-        np.testing.assert_allclose(
-            np.asarray(circ[:, i]), np.asarray(ref[k]["tensor"]),
-            rtol=1e-4,
-        )
-    np.testing.assert_allclose(
-        np.asarray(vol), np.asarray(signed_volume(tris)), rtol=1e-5
-    )
-
-
-def test_fused_measurements_empty_plane(rng):
-    from shapy_tpu.ops.measure_pallas import fused_measurements
-    from shapy_tpu.models.body.assets import icosphere
-
-    verts, faces = icosphere(2)
-    tris = jnp.asarray(verts[faces], jnp.float32)[None]
-    # h=0.1 (not 0.0: the icosphere has an exact vertex ring at y=0,
-    # which the strict-sign slice treats as degenerate, same as the
-    # plane-slice op)
-    heights = jnp.asarray([[99.0, 0.1, -99.0]])  # miss, hit, miss
-    circ, vol = fused_measurements(
-        tris, heights, num_directions=128, tile=512, interpret=True
-    )
-    assert float(circ[0, 0]) == 0.0
-    assert float(circ[0, 1]) > 0.0
-    assert float(circ[0, 2]) == 0.0
