@@ -154,7 +154,9 @@ def main() -> None:
     # subdivisions=5 -> 10242 vertices / 20480 faces, matching the real
     # SMPL-X mesh scale (10475 / 20908) so LBS + measurement cost is honest.
     regressor = _build_flagship(subdivisions=5)
-    # bf16 backbone (MXU-native), f32 head/LBS/measurements.
+    # bf16 backbone (MXU-native), f32 head/LBS/measurements. (An int8
+    # backbone was measured and rejected: XLA's int8 conv lowering is
+    # 3.7x slower than bf16 on this chip — see BENCH.md.)
     if os.environ.get("BENCH_BF16", "1") == "1":
         regressor.backbone_compute_dtype = jnp.bfloat16
 

@@ -70,7 +70,14 @@ def conv2d(
     bias: bool = False,
     initializer: str = "conv_normal",
 ) -> Array:
-    """NHWC conv with torch-style explicit padding."""
+    """NHWC conv with torch-style explicit padding.
+
+    Note: an int8 (s8 x s8 -> s32) variant of this path was measured on
+    v5e and REJECTED: despite the MXU's 2x int8 peak, XLA's int8 conv
+    lowering ran the full W48 backbone 3.7x SLOWER than bf16 (341 ms vs
+    93 ms at batch 128) — see BENCH.md. Revisit only with a hand-written
+    Mosaic kernel.
+    """
     in_ch = x.shape[-1]
     w = store.get(f"{name}.weight", (kernel, kernel, in_ch, out_ch),
                   initializer)
