@@ -38,10 +38,16 @@ import numpy as np
 A100_REFERENCE_IMGS_PER_SEC = 90.0  # estimated, not measured (see above)
 
 
-def _chained_device_time_ms(body, params, x0, ks=(2, 18), reps=3):
+def _chained_device_time_ms(body, params, x0, ks=(4, 40), reps=3):
     """Per-iteration device time: run `body` k times chained inside one
-    jit, fetch one element, difference the two k's (min over reps beats
-    tunnel jitter)."""
+    jit, reduce to ONE scalar on-device, fetch it, and difference the
+    two k's (min over reps beats tunnel jitter).
+
+    The on-device reduction matters: fetching any full-sized output
+    would drag 100s of MB through the tunnel per timed call (~10 s of
+    wall clock with multi-second variance), drowning the measurement.
+    The scalar depends on every element of the loop carry, so nothing
+    is dead-code-eliminated."""
     import jax
 
     best = {}
@@ -49,15 +55,14 @@ def _chained_device_time_ms(body, params, x0, ks=(2, 18), reps=3):
 
         @jax.jit
         def run(p, x):
-            return jax.lax.fori_loop(0, k, lambda i, x: body(p, x), x)
+            y = jax.lax.fori_loop(0, k, lambda i, x: body(p, x), x)
+            return y.mean()
 
-        r = run(params, x0)
-        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        _ = float(run(params, x0))
         times = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            r = run(params, x0)
-            _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+            _ = float(run(params, x0))
             times.append(time.perf_counter() - t0)
         best[k] = min(times)
     k0, k1 = ks

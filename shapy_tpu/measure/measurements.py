@@ -170,10 +170,19 @@ class BodyMeasurements:
     def compute_periphery(
         self, triangles: Array, anchor: Anchor
     ) -> Dict[str, Array]:
-        """Circumference of the horizontal slice at the anchor's height."""
+        """Circumference of the horizontal slice at the anchor's height.
+
+        One plane per call, deliberately: stacking all three anchor
+        planes into a single (B, P, F) sliced pipeline measured ~45%
+        SLOWER on v5e (30.7 vs 17.7 ms for the full module at batch
+        128) — the fatter broadcast intermediates fuse worse than three
+        lean sequential pipelines. Sparse compaction of the padded
+        point buffer also loses (see the note in ops/convex_hull.py);
+        dense masked projection with antipodal pairing is the fastest
+        measured formulation."""
+        B = triangles.shape[0]
         plane_h = _anchor_point(triangles, anchor)[..., 1]
         points3d, valid = plane_slice_triangles(triangles, plane_h, axis=1)
-        B = triangles.shape[0]
         flat = points3d.reshape(B, -1, 3)
         flat_mask = jnp.repeat(valid, 2, axis=-1)
         pts2d = flat[..., jnp.array([0, 2])]  # (x, z) plane
@@ -195,12 +204,12 @@ class BodyMeasurements:
         compute_hips: bool = True,
     ) -> Dict[str, Dict[str, Array]]:
         out = {}
-        if compute_chest:
-            out["chest"] = self.compute_periphery(triangles, self.anchors.chest)
-        if compute_waist:
-            out["waist"] = self.compute_periphery(triangles, self.anchors.waist)
-        if compute_hips:
-            out["hips"] = self.compute_periphery(triangles, self.anchors.hips)
+        for name, on in (("chest", compute_chest), ("waist", compute_waist),
+                         ("hips", compute_hips)):
+            if on:
+                out[name] = self.compute_periphery(
+                    triangles, getattr(self.anchors, name)
+                )
         return out
 
     # -- full forward ------------------------------------------------------

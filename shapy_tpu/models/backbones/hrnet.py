@@ -98,37 +98,81 @@ def _transition(store, name, xs, pre_ch, cur_ch, train, axis_name):
     return out
 
 
+def _merged_conv(store, names_and_shapes, x, stride, padding):
+    """One conv whose output channels are the concatenation of several
+    same-input convs' outputs (identical math, fewer + better-lane-packed
+    MXU calls; the 48-channel contributions alone waste 62% of the MXU
+    lanes when run as separate convs). Returns the per-name chunks."""
+    ws = [store.get(name, shape, "conv_normal")
+          for name, shape in names_and_shapes]
+    wcat = jnp.concatenate(ws, axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x,
+        wcat.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    chunks = []
+    off = 0
+    for _, shape in names_and_shapes:
+        chunks.append(y[..., off:off + shape[-1]])
+        off += shape[-1]
+    return chunks
+
+
 def _fuse(store, prefix, xs, channels, train, axis_name):
     """Multi-resolution fusion (hrnet.py:118-170,186-194): every output
     branch sums contributions from every input branch, upsampling (1x1
     conv + BN + nearest) from finer-indexed and strided-conv downsampling
-    from coarser-indexed branches."""
-    fused = []
-    for i in range(len(xs)):
-        y = None
-        for j in range(len(xs)):
-            if j == i:
-                t = xs[j]
-            elif j > i:
-                t = conv2d(store, f"{prefix}.{i}.{j}.0", xs[j],
-                           channels[i], 1, 1, 0)
-                t = batch_norm(store, f"{prefix}.{i}.{j}.1", t, train,
-                               axis_name=axis_name)
-                t = nearest_upsample(t, 2 ** (j - i))
-            else:
-                t = xs[j]
-                for k in range(i - j):
-                    last = k == i - j - 1
-                    out_c = channels[i] if last else channels[j]
-                    t = conv2d(store, f"{prefix}.{i}.{j}.{k}.0", t, out_c,
-                               3, 2, 1)
-                    t = batch_norm(store, f"{prefix}.{i}.{j}.{k}.1", t,
-                                   train, axis_name=axis_name)
-                    if not last:
-                        t = jax.nn.relu(t)
-            y = t if y is None else y + t
-        fused.append(jax.nn.relu(y))
-    return fused
+    from coarser-indexed branches.
+
+    TPU scheduling: all contributions that share a source branch and a
+    stride are computed as ONE conv with concatenated output channels
+    (same parameters, same math), then split for their per-target BN."""
+    n = len(xs)
+    contrib = [[xs[i]] for i in range(n)]
+
+    # Upsampled contributions: source j -> all targets i < j share the
+    # input xs[j] and a 1x1 stride-1 conv; merge them.
+    for j in range(1, n):
+        targets = list(range(j))
+        names = [
+            (f"{prefix}.{i}.{j}.0.weight",
+             (1, 1, xs[j].shape[-1], channels[i]))
+            for i in targets
+        ]
+        chunks = _merged_conv(store, names, xs[j], 1, 0)
+        for i, t in zip(targets, chunks):
+            t = batch_norm(store, f"{prefix}.{i}.{j}.1", t, train,
+                           axis_name=axis_name)
+            contrib[i].append(nearest_upsample(t, 2 ** (j - i)))
+
+    # Downsampled contributions: source j -> targets i > j are chains of
+    # stride-2 3x3 convs; every chain's FIRST hop shares xs[j], merge it.
+    for j in range(n - 1):
+        targets = list(range(j + 1, n))
+        names = [
+            (f"{prefix}.{i}.{j}.0.0.weight",
+             (3, 3, xs[j].shape[-1],
+              channels[i] if i == j + 1 else channels[j]))
+            for i in targets
+        ]
+        chunks = _merged_conv(store, names, xs[j], 2, 1)
+        for i, t in zip(targets, chunks):
+            t = batch_norm(store, f"{prefix}.{i}.{j}.0.1", t, train,
+                           axis_name=axis_name)
+            for k in range(1, i - j):
+                t = jax.nn.relu(t)
+                last = k == i - j - 1
+                out_c = channels[i] if last else channels[j]
+                t = conv2d(store, f"{prefix}.{i}.{j}.{k}.0", t, out_c,
+                           3, 2, 1)
+                t = batch_norm(store, f"{prefix}.{i}.{j}.{k}.1", t,
+                               train, axis_name=axis_name)
+            contrib[i].append(t)
+
+    return [jax.nn.relu(sum(ts[1:], ts[0])) for ts in contrib]
 
 
 def _stage(store, name, xs, stage_key, train, axis_name):

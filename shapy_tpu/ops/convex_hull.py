@@ -45,13 +45,24 @@ def hull_perimeter_support(
     Returns: (...,) perimeter. Zero when fewer than 2 valid points.
     """
     k = num_directions
-    theta = (jnp.arange(k, dtype=points.dtype) + 0.5) * (2.0 * jnp.pi / k)
-    u = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=0)  # (2, K)
+    assert k % 2 == 0, "num_directions must be even (antipodal pairing)"
+    # Midpoint angles for the FIRST half-circle only: theta_j and
+    # theta_j + pi are both quadrature nodes, and h(theta + pi) =
+    # max(-proj), so one (N, K/2) projection yields all K support
+    # values via a max and a min reduction — half the multiply work.
+    half = k // 2
+    theta = (jnp.arange(half, dtype=points.dtype) + 0.5) * (2.0 * jnp.pi / k)
+    u = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=0)  # (2, K/2)
 
     m = mask[..., None]
     count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
     centroid = jnp.sum(jnp.where(m, points, 0.0), axis=-2, keepdims=True)
     centroid = centroid / count[..., None]
+    # Invalid points collapse to the centroid (projection 0). Because the
+    # centroid of the valid points lies inside their hull, h(theta) >= 0
+    # for every direction, so the zeros can never win the max/min — no
+    # per-(N, K) mask select is needed (that select was ~25% of the VPU
+    # work in this op, the hot loop of the measurement module).
     centred = jnp.where(m, points - centroid, 0.0)
 
     # Projection as an explicit f32 broadcast, not a matmul: TPU's default
@@ -61,13 +72,25 @@ def hull_perimeter_support(
     # broadcast for this K-dim=2 contraction (measured on v5e).
     proj = (
         centred[..., 0:1] * u[0][None, :] + centred[..., 1:2] * u[1][None, :]
-    )  # (..., N, K)
-    neg = jnp.asarray(-jnp.inf, dtype=points.dtype)
-    h = jnp.max(jnp.where(m, proj, neg), axis=-2)  # (..., K)
-    h = jnp.maximum(h, 0.0)  # no valid points on some direction -> 0
-    perimeter = jnp.sum(h, axis=-1) * (2.0 * jnp.pi / k)
+    )  # (..., N, K/2)
+    h_fwd = jnp.maximum(jnp.max(proj, axis=-2), 0.0)   # h(theta)
+    h_bwd = jnp.maximum(-jnp.min(proj, axis=-2), 0.0)  # h(theta + pi)
+    perimeter = (
+        jnp.sum(h_fwd, axis=-1) + jnp.sum(h_bwd, axis=-1)
+    ) * (2.0 * jnp.pi / k)
     enough = jnp.sum(mask, axis=-1) >= 2
     return jnp.where(enough, perimeter, 0.0)
+
+
+# NOTE on a rejected design: compacting the ~500 real slice crossings out
+# of the 2F padded candidates before the hull looks attractive (20x less
+# projection work) but LOSES on TPU in every formulation measured on v5e
+# at (384, 40960) -> 2048: cumsum-slot scatter ~950 ms/call (scatter
+# serialises per update and long chains trip the device watchdog),
+# stable-sort compaction 63 ms, top_k(k=2048) worse still — all vs
+# 16.6 ms for the full-N masked projection itself. Dense beats sparse
+# here; the optimisations that do pay are inside the projection
+# (antipodal pairing + dropping the (N, K) select, above).
 
 
 def hull_perimeter_exact_np(

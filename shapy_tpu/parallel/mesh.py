@@ -61,12 +61,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Parameters that must stay replicated regardless of shape: batch-norm
+# statistics/affines feed cross-batch reductions, and the body model's
+# template/blend assets are gathered with data-dependent indices (a
+# 'model'-sharded gather would force an all-gather anyway).
+_REPLICATE_MARKERS = ("bn", "norm", "running_", "shapedirs", "posedirs",
+                     "v_template", "lbs_weights")
+
+
 def _param_spec(path: str, shape, model_axis_size: int) -> P:
-    """FSDP-style rule: shard the largest axis of big kernels over
-    'model'; replicate the rest. Conservative: only 2D+ tensors whose
-    largest dim divides the axis size and is >= 1024."""
+    """FSDP-style rule, keyed on both the parameter name and its shape.
+
+    * anything matching ``_REPLICATE_MARKERS`` is replicated (see above);
+    * 4D conv kernels (HWIO) shard their output-channel axis when it
+      divides the axis size and is large enough to matter — out-channels
+      is the contraction-free axis, so the forward all-gather rides a
+      single axis and the backward reduce-scatter matches the grad
+      layout;
+    * other big 2D+ tensors shard their largest divisible axis;
+    * everything else is replicated. Conservative thresholds keep small
+      tensors whole (an all-gather of a 48-channel kernel costs more
+      than it saves).
+    """
     if model_axis_size <= 1 or len(shape) < 2:
         return P()
+    lname = path.lower()
+    if any(m in lname for m in _REPLICATE_MARKERS):
+        return P()
+    if len(shape) == 4 and shape[-1] >= 256 and (
+            shape[-1] % model_axis_size == 0):
+        return P(None, None, None, "model")
     largest = int(np.argmax(shape))
     if shape[largest] >= 1024 and shape[largest] % model_axis_size == 0:
         spec = [None] * len(shape)

@@ -16,10 +16,15 @@ import time
 import numpy as np
 
 
-def _chained_ms(body, params, x0, reps=3, target_s=4.0, k0=4):
-    """Adaptive chained timing: escalate the iteration count until the
-    k1-vs-k0 wall-clock delta is >= target_s, so tunnel jitter (can be
-    100s of ms per dispatch) stays small relative to the measurement."""
+def _chained_ms(body, params, x0, reps=3, k0=4):
+    """Adaptive chained timing.
+
+    Escalates the iteration count until the chained program runs
+    ~1.5-3.5 s of wall clock: long enough that per-dispatch tunnel
+    jitter (100s of ms) is small relative to the measurement, but
+    SHORT enough to stay under the tunnel's ~10 s threshold beyond
+    which wall time is inflated (polling backoff), which would
+    otherwise overstate per-iteration time by 2-5x."""
     import jax
 
     def timed(k, nreps):
@@ -38,12 +43,15 @@ def _chained_ms(body, params, x0, reps=3, target_s=4.0, k0=4):
         return min(times)
 
     t0 = timed(k0, reps)
-    k1 = k0 * 8
-    while True:
+    # One-shot escalation (compiles dominate wall clock on this host):
+    # estimate per-iteration time from t0 minus a dispatch-overhead
+    # guess, target a ~2.5 s chained program.
+    x_est = max((t0 - 0.3) / k0, 2e-4)
+    k1 = int(min(max(2.5 / x_est, k0 * 8), 4096))
+    t1 = timed(k1, 1)
+    if t1 > 5.5:  # overshot into the throttled zone; halve once
+        k1 = max(k0 * 8, k1 // 4)
         t1 = timed(k1, 1)
-        if t1 - t0 >= target_s or k1 >= 4096:
-            break
-        k1 *= 4
     t1 = min(t1, timed(k1, reps - 1)) if reps > 1 else t1
     return (t1 - t0) / (k1 - k0) * 1000.0
 
@@ -61,7 +69,11 @@ def hrnet_prefix(params, images, upto, old_impl=False):
     store = ParamStore(params)
     train, axis_name = False, None
     x = conv_bn_relu(store, "conv1", "bn1", images, 64, 3, 2, 1, train)
+    if upto == "conv1":
+        return x
     x = conv_bn_relu(store, "conv2", "bn2", x, 64, 3, 2, 1, train)
+    if upto == "conv2":
+        return x
     x = _run_block_seq(store, "layer1", x, "BOTTLENECK", 64, 4, train,
                        axis_name)
     if upto == "stem":
