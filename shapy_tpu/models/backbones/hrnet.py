@@ -34,6 +34,7 @@ from shapy_tpu.models.backbones.layers import (
     ParamStore,
     basic_block,
     batch_norm,
+    bn_fold_params,
     bottleneck_block,
     conv2d,
     conv_bn_relu,
@@ -98,13 +99,27 @@ def _transition(store, name, xs, pre_ch, cur_ch, train, axis_name):
     return out
 
 
-def _merged_conv(store, names_and_shapes, x, stride, padding):
+def _merged_conv(store, names_and_shapes, x, stride, padding,
+                 bn_names=None):
     """One conv whose output channels are the concatenation of several
     same-input convs' outputs (identical math, fewer + better-lane-packed
     MXU calls; the 48-channel contributions alone waste 62% of the MXU
-    lanes when run as separate convs). Returns the per-name chunks."""
+    lanes when run as separate convs). Returns the per-name chunks.
+
+    With ``bn_names`` (one BN prefix per conv) and ``store.fold_bn`` on,
+    each contribution's eval-mode BN affine is folded into its kernel
+    slice and chunk bias — the caller must then skip its batch_norm."""
     ws = [store.get(name, shape, "conv_normal")
           for name, shape in names_and_shapes]
+    folded = bn_names is not None and store.fold_bn
+    biases = None
+    if folded:
+        sbs = [
+            bn_fold_params(store, bn, shape[-1])
+            for bn, (_, shape) in zip(bn_names, names_and_shapes)
+        ]
+        ws = [w.astype(jnp.float32) * s for w, (s, _) in zip(ws, sbs)]
+        biases = [b for _, b in sbs]
     wcat = jnp.concatenate(ws, axis=-1)
     y = jax.lax.conv_general_dilated(
         x,
@@ -115,8 +130,11 @@ def _merged_conv(store, names_and_shapes, x, stride, padding):
     )
     chunks = []
     off = 0
-    for _, shape in names_and_shapes:
-        chunks.append(y[..., off:off + shape[-1]])
+    for i, (_, shape) in enumerate(names_and_shapes):
+        c = y[..., off:off + shape[-1]]
+        if folded:
+            c = c + biases[i].astype(c.dtype)
+        chunks.append(c)
         off += shape[-1]
     return chunks
 
@@ -132,6 +150,7 @@ def _fuse(store, prefix, xs, channels, train, axis_name):
     (same parameters, same math), then split for their per-target BN."""
     n = len(xs)
     contrib = [[xs[i]] for i in range(n)]
+    folded = store.fold_bn and not train
 
     # Upsampled contributions: source j -> all targets i < j share the
     # input xs[j] and a 1x1 stride-1 conv; merge them.
@@ -142,10 +161,13 @@ def _fuse(store, prefix, xs, channels, train, axis_name):
              (1, 1, xs[j].shape[-1], channels[i]))
             for i in targets
         ]
-        chunks = _merged_conv(store, names, xs[j], 1, 0)
+        bns = [f"{prefix}.{i}.{j}.1" for i in targets]
+        chunks = _merged_conv(store, names, xs[j], 1, 0,
+                              bn_names=bns if folded else None)
         for i, t in zip(targets, chunks):
-            t = batch_norm(store, f"{prefix}.{i}.{j}.1", t, train,
-                           axis_name=axis_name)
+            if not folded:
+                t = batch_norm(store, f"{prefix}.{i}.{j}.1", t, train,
+                               axis_name=axis_name)
             contrib[i].append(nearest_upsample(t, 2 ** (j - i)))
 
     # Downsampled contributions: source j -> targets i > j are chains of
@@ -158,18 +180,21 @@ def _fuse(store, prefix, xs, channels, train, axis_name):
               channels[i] if i == j + 1 else channels[j]))
             for i in targets
         ]
-        chunks = _merged_conv(store, names, xs[j], 2, 1)
+        bns = [f"{prefix}.{i}.{j}.0.1" for i in targets]
+        chunks = _merged_conv(store, names, xs[j], 2, 1,
+                              bn_names=bns if folded else None)
         for i, t in zip(targets, chunks):
-            t = batch_norm(store, f"{prefix}.{i}.{j}.0.1", t, train,
-                           axis_name=axis_name)
+            if not folded:
+                t = batch_norm(store, f"{prefix}.{i}.{j}.0.1", t, train,
+                               axis_name=axis_name)
             for k in range(1, i - j):
                 t = jax.nn.relu(t)
                 last = k == i - j - 1
                 out_c = channels[i] if last else channels[j]
-                t = conv2d(store, f"{prefix}.{i}.{j}.{k}.0", t, out_c,
-                           3, 2, 1)
-                t = batch_norm(store, f"{prefix}.{i}.{j}.{k}.1", t,
-                               train, axis_name=axis_name)
+                t = conv_bn_relu(store, f"{prefix}.{i}.{j}.{k}.0",
+                                 f"{prefix}.{i}.{j}.{k}.1", t, out_c,
+                                 3, 2, 1, train, relu=False,
+                                 axis_name=axis_name)
             contrib[i].append(t)
 
     return [jax.nn.relu(sum(ts[1:], ts[0])) for ts in contrib]
@@ -198,11 +223,9 @@ def _subsample(store, name, x, num_layers, train, axis_name):
     """Stride-2 conv(+bias)-BN-ReLU chain doubling channels each step
     (hrnet.py:376-392)."""
     for i in range(num_layers):
-        x = conv2d(store, f"{name}.{3 * i}", x, 2 * x.shape[-1], 3, 2, 1,
-                   bias=True)
-        x = batch_norm(store, f"{name}.{3 * i + 1}", x, train,
-                       axis_name=axis_name)
-        x = jax.nn.relu(x)
+        x = conv_bn_relu(store, f"{name}.{3 * i}", f"{name}.{3 * i + 1}",
+                         x, 2 * x.shape[-1], 3, 2, 1, train,
+                         axis_name=axis_name, bias=True)
     return x
 
 
@@ -213,10 +236,17 @@ def hrnet_forward(
     axis_name: Optional[str] = None,
     return_stages: bool = False,
     old_impl: bool = False,
+    fold_bn: Optional[bool] = None,
     _store: Optional[ParamStore] = None,
 ) -> Dict[str, Array]:
-    """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}."""
+    """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}.
+
+    ``fold_bn`` (default: on whenever ``train`` is False) folds every BN
+    eval affine into its conv — identical math, 19 ms faster per batch
+    of 128 on v5e (see layers.bn_fold_params)."""
     store = _store if _store is not None else ParamStore(params)
+    if _store is None:
+        store.fold_bn = (not train) if fold_bn is None else fold_bn
     x = conv_bn_relu(store, "conv1", "bn1", images, 64, 3, 2, 1, train,
                      axis_name=axis_name)
     x = conv_bn_relu(store, "conv2", "bn2", x, 64, 3, 2, 1, train,

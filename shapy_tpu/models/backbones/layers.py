@@ -32,11 +32,19 @@ class ParamStore:
         rng: Optional[np.random.Generator] = None,
         init: bool = False,
         dtype=jnp.float32,
+        fold_bn: bool = False,
     ):
         self.params: Dict[str, Array] = params if params is not None else {}
         self.rng = rng or np.random.default_rng(0)
         self.init = init
         self.dtype = dtype
+        # Eval-time BatchNorm folding: when True, conv+BN pairs compute
+        # conv(x, w * scale) + bias instead of BN(conv(x, w)) —
+        # identical math, but the affine moves from O(activations) to
+        # O(params) work. Measured on v5e: the unfolded BN passes cost
+        # 19 ms of the 69 ms W48 backbone at batch 128 (XLA does NOT
+        # fuse them into the conv epilogues). Only valid in eval mode.
+        self.fold_bn = fold_bn
         # batch-stat updates collected during a train-mode forward
         self.stat_updates: Dict[str, Array] = {}
 
@@ -59,6 +67,25 @@ class ParamStore:
         return self.params[name]
 
 
+def bn_fold_params(
+    store: ParamStore, bn_name: str, c: int, eps: float = 1e-5
+) -> Tuple[Array, Array]:
+    """(scale, bias) of the eval-mode BN affine, in float32.
+
+    BN(y) = (y - mean) * gamma / sqrt(var + eps) + beta
+          = y * scale + bias.
+    """
+    gamma = store.get(f"{bn_name}.weight", (c,), "ones")
+    beta = store.get(f"{bn_name}.bias", (c,), "zeros")
+    rmean = store.get(f"{bn_name}.running_mean", (c,), "zeros")
+    rvar = store.get(f"{bn_name}.running_var", (c,), "ones")
+    scale = gamma.astype(jnp.float32) * jax.lax.rsqrt(
+        rvar.astype(jnp.float32) + eps
+    )
+    bias = beta.astype(jnp.float32) - rmean.astype(jnp.float32) * scale
+    return scale, bias
+
+
 def conv2d(
     store: ParamStore,
     name: str,
@@ -69,8 +96,14 @@ def conv2d(
     padding: int = 0,
     bias: bool = False,
     initializer: str = "conv_normal",
+    fold_bn: Optional[str] = None,
+    bn_eps: float = 1e-5,
 ) -> Array:
     """NHWC conv with torch-style explicit padding.
+
+    With ``fold_bn`` set (a BN param prefix) and ``store.fold_bn`` on,
+    the BN eval affine is folded into the kernel and bias — the caller
+    must then SKIP its batch_norm call.
 
     Note: an int8 (s8 x s8 -> s32) variant of this path was measured on
     v5e and REJECTED: despite the MXU's 2x int8 peak, XLA's int8 conv
@@ -81,6 +114,13 @@ def conv2d(
     in_ch = x.shape[-1]
     w = store.get(f"{name}.weight", (kernel, kernel, in_ch, out_ch),
                   initializer)
+    b = store.get(f"{name}.bias", (out_ch,), "zeros") if bias else None
+    if fold_bn is not None and store.fold_bn:
+        scale, fbias = bn_fold_params(store, fold_bn, out_ch, bn_eps)
+        w = w.astype(jnp.float32) * scale
+        if b is not None:
+            fbias = fbias + b.astype(jnp.float32) * scale
+        b = fbias
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -88,8 +128,7 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    if bias:
-        b = store.get(f"{name}.bias", (out_ch,), "zeros")
+    if b is not None:
         y = y + b.astype(y.dtype)
     return y
 
@@ -140,9 +179,14 @@ def batch_norm(
 
 
 def conv_bn_relu(store, name_conv, name_bn, x, out_ch, kernel, stride,
-                 padding, train, relu=True, axis_name=None):
-    y = conv2d(store, name_conv, x, out_ch, kernel, stride, padding)
-    y = batch_norm(store, name_bn, y, train, axis_name=axis_name)
+                 padding, train, relu=True, axis_name=None, bias=False):
+    if store.fold_bn and not train:
+        y = conv2d(store, name_conv, x, out_ch, kernel, stride, padding,
+                   bias=bias, fold_bn=name_bn)
+    else:
+        y = conv2d(store, name_conv, x, out_ch, kernel, stride, padding,
+                   bias=bias)
+        y = batch_norm(store, name_bn, y, train, axis_name=axis_name)
     return jax.nn.relu(y) if relu else y
 
 
@@ -156,10 +200,10 @@ def basic_block(store: ParamStore, prefix: str, x: Array, planes: int,
     y = conv_bn_relu(store, f"{prefix}.conv2", f"{prefix}.bn2", y, planes,
                      3, 1, 1, train, relu=False, axis_name=axis_name)
     if downsample:
-        identity = conv2d(store, f"{prefix}.downsample.0", x, planes, 1,
-                          stride, 0)
-        identity = batch_norm(store, f"{prefix}.downsample.1", identity,
-                              train, axis_name=axis_name)
+        identity = conv_bn_relu(store, f"{prefix}.downsample.0",
+                                f"{prefix}.downsample.1", x, planes, 1,
+                                stride, 0, train, relu=False,
+                                axis_name=axis_name)
     return jax.nn.relu(y + identity)
 
 
@@ -181,10 +225,10 @@ def bottleneck_block(store: ParamStore, prefix: str, x: Array, planes: int,
                      1, 1, 0, train, relu=False, axis_name=axis_name)
     if downsample:
         if downsample_has_bn:
-            identity = conv2d(store, f"{prefix}.downsample.0", x, out_ch, 1,
-                              stride, 0)
-            identity = batch_norm(store, f"{prefix}.downsample.1", identity,
-                                  train, axis_name=axis_name)
+            identity = conv_bn_relu(store, f"{prefix}.downsample.0",
+                                    f"{prefix}.downsample.1", x, out_ch, 1,
+                                    stride, 0, train, relu=False,
+                                    axis_name=axis_name)
         else:
             identity = conv2d(store, f"{prefix}.downsample", x, out_ch, 1,
                               stride, 0)

@@ -40,9 +40,13 @@ def resnet_forward(
     depth: int = 50,
     train: bool = False,
     axis_name: Optional[str] = None,
+    fold_bn: Optional[bool] = None,
     _store: Optional[ParamStore] = None,
 ) -> Dict[str, Array]:
     store = _store if _store is not None else ParamStore(params)
+    if _store is None:
+        # Eval-time BN folding (see layers.bn_fold_params).
+        store.fold_bn = (not train) if fold_bn is None else fold_bn
     block_kind, layers = RESNET_LAYERS[depth]
     block_fn = basic_block if block_kind == "basic" else bottleneck_block
     expansion = 1 if block_kind == "basic" else 4

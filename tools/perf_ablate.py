@@ -66,7 +66,7 @@ def hrnet_prefix(params, images, upto, old_impl=False):
     from shapy_tpu.models.backbones.layers import ParamStore, conv_bn_relu
     from shapy_tpu.models.backbones.hrnet import bottleneck_block
 
-    store = ParamStore(params)
+    store = ParamStore(params, fold_bn=True)  # eval path: BN folded
     train, axis_name = False, None
     x = conv_bn_relu(store, "conv1", "bn1", images, 64, 3, 2, 1, train)
     if upto == "conv1":
