@@ -146,9 +146,12 @@ if __name__ == "__main__":
                         default=[])
     parser.add_argument("--exp-opts", dest="exp_opts", nargs="*",
                         default=[])
-    parser.add_argument("--demo-output-folder",
+    # Underscore spellings are the reference's exact flags
+    # (attributes/demo.py:140-143); keep both.
+    parser.add_argument("--demo-output-folder", "--demo_output_folder",
                         default="../samples/attributes/predictions")
-    parser.add_argument("--smpl-model-path", default="../data/body_models")
+    parser.add_argument("--smpl-model-path", "--smpl_model_path",
+                        default="../data/body_models")
     parser.add_argument("--no-render", dest="render",
                         action="store_false")
     args = parser.parse_args()

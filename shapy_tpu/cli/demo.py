@@ -153,6 +153,7 @@ def main(
     save_mesh: bool = True,
     split: str = "test",
     batch_size: int = 1,
+    focal_length: float = DEFAULT_FOCAL_LENGTH,
 ) -> int:
     import jax
     import jax.numpy as jnp
@@ -242,6 +243,7 @@ def main(
             _save_sample_outputs(
                 regressor, out, bi, sample, demo_output_folder,
                 save_params, save_mesh, save_vis,
+                focal_length=focal_length,
             )
 
     if cnt:
@@ -254,7 +256,8 @@ def main(
 
 
 def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
-                         save_params, save_mesh, save_vis):
+                         save_params, save_mesh, save_vis,
+                         focal_length=DEFAULT_FOCAL_LENGTH):
     """Write the per-image npz/ply/overlay outputs (schema identical to
     the batch-1 demo and the reference demo.py:321-353)."""
     import numpy as np
@@ -269,6 +272,7 @@ def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
         np.asarray(cam["scale"])[bi:bi + 1],
         np.asarray(cam["translation"])[bi:bi + 1],
         H, W,
+        focal_length=focal_length,
     )
 
     imgname = os.path.splitext(sample["fname"])[0]
@@ -317,7 +321,7 @@ def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
             vertices,
             faces,
             transl=hd_params["transl"][0],
-            focal_length=DEFAULT_FOCAL_LENGTH,
+            focal_length=focal_length,
         )
         import cv2
 
@@ -352,6 +356,15 @@ def build_parser():
                         default=1,
                         help="Images per forward pass. >1 routes through "
                              "the fused on-device crop+normalize path.")
+    parser.add_argument("--focal-length", dest="focal_length", type=float,
+                        default=DEFAULT_FOCAL_LENGTH,
+                        help="Focal length of the weak-perspective camera "
+                             "(reference demo.py:386-388).")
+    # Accepted for reference CLI compatibility (demo.py:378-382); this
+    # demo is headless, so interactive windows are not supported.
+    parser.add_argument("--show", default=False,
+                        type=lambda x: str(x).lower() in ("true", "1"))
+    parser.add_argument("--pause", default=-1, type=float)
     return parser
 
 
@@ -370,5 +383,6 @@ if __name__ == "__main__":
             save_mesh=args.save_mesh,
             split=args.split,
             batch_size=args.batch_size,
+            focal_length=args.focal_length,
         )
     )

@@ -82,6 +82,7 @@ def main(
     point_reg_gt: str = "",
     point_reg_fit: str = "",
     body_measurement_folder: str = "",
+    body_model_folder: str = "",
 ) -> int:
     from shapy_tpu.eval.metrics import SparsePointRegressor
     from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
@@ -120,7 +121,9 @@ def main(
             meas if model_type == "smplx"
             else BodyMeasurements(model_type=model_type)
         )
-        body = SMPLX(model_folder=os.path.join(hbw_folder, "body_models"))
+        body = SMPLX(model_folder=(
+            body_model_folder
+            or os.path.join(hbw_folder, "body_models")))
         gt_faces = fit_faces = body.faces
 
     def gt_lookup(label: str) -> np.ndarray:
@@ -192,6 +195,9 @@ if __name__ == "__main__":
     parser.add_argument("--point-reg-gt", default="")
     parser.add_argument("--point-reg-fit", default="")
     parser.add_argument("--body-measurement-folder", default="")
+    parser.add_argument("--body-model-folder", default="",
+                        help="SMPL/SMPL-X model folder "
+                             "(reference evaluate_hbw.py:213-218)")
     parser.add_argument("--check-format-only", action="store_true")
     parser.add_argument("--image-names-path", default="")
     args = parser.parse_args()
@@ -210,5 +216,6 @@ if __name__ == "__main__":
             args.point_reg_gt,
             args.point_reg_fit,
             args.body_measurement_folder,
+            args.body_model_folder,
         )
     )

@@ -32,8 +32,9 @@ from shapy_tpu.core.geometry import signed_volume
 from shapy_tpu.ops.convex_hull import (
     hull_perimeter_exact_np,
     hull_perimeter_support,
+    hull_perimeter_support_xz,
 )
-from shapy_tpu.ops.plane_slice import plane_slice_triangles
+from shapy_tpu.ops.plane_slice import plane_slice_soa, plane_slice_triangles
 
 Array = jax.Array
 
@@ -215,6 +216,64 @@ class BodyMeasurements:
                     triangles, getattr(self.anchors, name)
                 )
         return out
+
+    # -- SoA fast path -----------------------------------------------------
+    def forward_from_vertices(
+        self, vertices: Array, faces
+    ) -> Dict[str, Dict[str, Array]]:
+        """All measurements straight from (B, V, 3) vertices + (F, 3) faces.
+
+        The hot path for the regressor/eval loop: gathers each coordinate
+        into its own (B, 3, F) vertex-major plane and keeps the whole
+        slice + hull + volume pipeline in that structure-of-arrays layout
+        (face index on the 128-wide lane axis). The AoS ``forward``
+        entry materialises (B, F, 3, 3) triangles whose trailing size-3
+        axes leave 125 of 128 VPU lanes idle in every elementwise pass —
+        measured 4x slower on v5e (BENCH.md). Results are numerically
+        identical (same operations, same order per element).
+
+        Returns the same dict structure as ``forward`` minus the slice
+        point clouds ("points"/"valid_points"), which only the offline
+        visualisation paths consume.
+        """
+        faces_t = jnp.asarray(np.asarray(faces).T)  # (3, F)
+        tx = vertices[..., 0][..., faces_t]  # (B, 3, F)
+        ty = vertices[..., 1][..., faces_t]
+        tz = vertices[..., 2][..., faces_t]
+
+        def anchor_y(anchor: Anchor) -> Array:
+            tri_y = ty[..., :, anchor.face_idx]  # (B, 3)
+            bc = jnp.asarray(anchor.bary, dtype=ty.dtype)
+            return jnp.sum(tri_y * bc, axis=-1)  # (B,)
+
+        # mass: same determinant expansion as core.geometry.signed_volume,
+        # vertex-indexed on sublanes.
+        x0, x1, x2 = tx[..., 0, :], tx[..., 1, :], tx[..., 2, :]
+        y0, y1, y2 = ty[..., 0, :], ty[..., 1, :], ty[..., 2, :]
+        z0, z1, z2 = tz[..., 0, :], tz[..., 1, :], tz[..., 2, :]
+        det = (
+            -x2 * y1 * z0 + x1 * y2 * z0 + x2 * y0 * z1
+            - x0 * y2 * z1 - x1 * y0 * z2 + x0 * y1 * z2
+        )
+        mass = jnp.abs(jnp.sum(det, axis=-1)) / 6.0 * self.density
+
+        height = jnp.abs(
+            anchor_y(self.anchors.head_top) - anchor_y(self.anchors.left_heel)
+        )
+
+        out: Dict[str, Dict[str, Array]] = {
+            "mass": {"tensor": mass},
+            "height": {"tensor": height},
+        }
+        for name in ("chest", "waist", "hips"):
+            anchor = getattr(self.anchors, name)
+            plane_h = anchor_y(anchor)
+            xs, zs, m = plane_slice_soa(ty, tx, tz, plane_h)
+            value = hull_perimeter_support_xz(
+                xs, zs, m, self.num_hull_directions
+            )
+            out[name] = {"tensor": value, "plane_height": plane_h}
+        return {"measurements": out}
 
     # -- full forward ------------------------------------------------------
     def __call__(self, triangles: Array, **kwargs) -> Dict:

@@ -177,8 +177,11 @@ class A2B:
                     pred_out, gt_out, edges
                 )
             if meas_weights and meas is not None:
-                pm = meas.forward(pred_out[:, faces])["measurements"]
-                gm = meas.forward(gt_out[:, faces])["measurements"]
+                # SoA fast path (full-lane-width slice+hull; BENCH.md)
+                pm = meas.forward_from_vertices(
+                    pred_out, faces)["measurements"]
+                gm = meas.forward_from_vertices(
+                    gt_out, faces)["measurements"]
                 for k, w in meas_weights.items():
                     if w > 0:
                         loss += w * jnp.mean(
@@ -250,10 +253,10 @@ class A2B:
         )
         if self.meas_module is not None:
             faces = self.body_model.faces
-            gt_m = self.meas_module.forward(
-                jnp.asarray(gt_v[:, faces]))["measurements"]
-            pr_m = self.meas_module.forward(
-                jnp.asarray(pr_v[:, faces]))["measurements"]
+            gt_m = self.meas_module.forward_from_vertices(
+                jnp.asarray(gt_v), faces)["measurements"]
+            pr_m = self.meas_module.forward_from_vertices(
+                jnp.asarray(pr_v), faces)["measurements"]
             for k in ("height", "chest", "waist", "hips"):
                 out[f"{k}_mae_mm"] = float(
                     np.abs(

@@ -402,8 +402,12 @@ class BodyRegressor:
         # (iterative_regressor.py:742-756).
         measurements = None
         if self.compute_measurements:
-            tris = last["v_shaped"][:, self.model.faces]
-            measurements = self.body_measurements(tris)["measurements"]
+            # SoA fast path: no (B, F, 3, 3) triangle materialisation,
+            # full-lane-width slice+hull (see BodyMeasurements
+            # .forward_from_vertices).
+            measurements = self.body_measurements.forward_from_vertices(
+                last["v_shaped"], self.model.faces
+            )["measurements"]
             meas_dict = {k: v["tensor"] for k, v in measurements.items()}
             out["measurements"] = meas_dict
             last["measurements"] = meas_dict

@@ -45,6 +45,25 @@ def hull_perimeter_support(
 
     Returns: (...,) perimeter. Zero when fewer than 2 valid points.
     """
+    return hull_perimeter_support_xz(
+        points[..., 0], points[..., 1], mask, num_directions
+    )
+
+
+def hull_perimeter_support_xz(
+    x: Array,
+    z: Array,
+    mask: Array,
+    num_directions: int = 256,
+) -> Array:
+    """Support-function hull perimeter, structure-of-arrays layout.
+
+    ``x``/``z``/``mask`` are (..., N) coordinate planes — the TPU-fast
+    form: with N on the 128-wide lane axis every centering/masking pass
+    runs at full width, where the (..., N, 2) AoS form above uses 2 of
+    128 lanes for all of them (the measurement module's dominant cost
+    before this restructure; see BENCH.md).
+    """
     k = num_directions
     assert k % 2 == 0, "num_directions must be even (antipodal pairing)"
     # Midpoint angles for the FIRST half-circle only: theta_j and
@@ -52,28 +71,25 @@ def hull_perimeter_support(
     # max(-proj), so one (N, K/2) projection yields all K support
     # values via a max and a min reduction — half the multiply work.
     half = k // 2
-    theta = (jnp.arange(half, dtype=points.dtype) + 0.5) * (2.0 * jnp.pi / k)
-    u = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=0)  # (2, K/2)
+    theta = (jnp.arange(half, dtype=x.dtype) + 0.5) * (2.0 * jnp.pi / k)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)  # (K/2,)
 
-    m = mask[..., None]
     count = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
-    centroid = jnp.sum(jnp.where(m, points, 0.0), axis=-2, keepdims=True)
-    centroid = centroid / count[..., None]
+    cx = jnp.sum(jnp.where(mask, x, 0.0), axis=-1, keepdims=True) / count
+    cz = jnp.sum(jnp.where(mask, z, 0.0), axis=-1, keepdims=True) / count
     # Invalid points collapse to the centroid (projection 0). Because the
     # centroid of the valid points lies inside their hull, h(theta) >= 0
     # for every direction, so the zeros can never win the max/min — no
-    # per-(N, K) mask select is needed (that select was ~25% of the VPU
-    # work in this op, the hot loop of the measurement module).
-    centred = jnp.where(m, points - centroid, 0.0)
+    # per-(N, K) mask select is needed.
+    xc = jnp.where(mask, x - cx, 0.0)
+    zc = jnp.where(mask, z - cz, 0.0)
 
     # Projection as an explicit f32 broadcast, not a matmul: TPU's default
     # f32 matmul runs in bf16 passes (cost ~1.4 mm on a ~1.7 m
     # circumference, outside the <1 mm parity budget) and
     # Precision.HIGHEST fixes accuracy but is 4x slower than the VPU
     # broadcast for this K-dim=2 contraction (measured on v5e).
-    proj = (
-        centred[..., 0:1] * u[0][None, :] + centred[..., 1:2] * u[1][None, :]
-    )  # (..., N, K/2)
+    proj = xc[..., None] * cos + zc[..., None] * sin  # (..., N, K/2)
     h_fwd = jnp.maximum(jnp.max(proj, axis=-2), 0.0)   # h(theta)
     h_bwd = jnp.maximum(-jnp.min(proj, axis=-2), 0.0)  # h(theta + pi)
     perimeter = (

@@ -69,3 +69,58 @@ def plane_slice_triangles(
     points = jnp.stack([first, second], axis=-2)
     points = jnp.where(valid[..., None, None], points, 0.0)
     return points, valid
+
+
+def plane_slice_soa(
+    s_coord: Array,
+    a_coord: Array,
+    b_coord: Array,
+    height: Array,
+) -> Tuple[Array, Array, Array]:
+    """Structure-of-arrays plane slice — the TPU-fast layout.
+
+    The AoS form above carries a trailing coordinate axis of size 3, so
+    every elementwise pass uses 3 of the VPU's 128 lanes. Here each
+    coordinate is its own (..., 3, F) vertex-major plane (vertex index on
+    sublanes, face index on lanes), which keeps all slicing math at full
+    lane width — measured 4x faster end-to-end on the measurement module
+    (see BENCH.md).
+
+    Args:
+      s_coord: (..., 3, F) the coordinate the plane is orthogonal to
+        (y for circumference slices).
+      a_coord, b_coord: (..., 3, F) the in-plane output coordinates.
+      height: (...,) plane height.
+
+    Returns:
+      a_pts, b_pts: (..., 2F) intersection-point coordinates (zeros where
+        invalid; triangle f's two points land at f and F + f),
+      mask: (..., 2F) validity.
+    """
+    h = jnp.asarray(height)[..., None, None]
+    s = s_coord - h  # (..., 3, F) signed distances
+
+    def nxt(c):  # vertex v -> v+1 mod 3 along the sublane axis
+        return jnp.roll(c, -1, axis=-2)
+
+    sa, sb = s, nxt(s)
+    crossing = (sa * sb) < 0.0  # strict, matches the AoS path
+    denom = sa - sb
+    t = sa / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+    qa = a_coord + t * (nxt(a_coord) - a_coord)  # (..., 3, F)
+    qb = b_coord + t * (nxt(b_coord) - b_coord)
+
+    valid = jnp.sum(crossing, axis=-2) == 2  # (..., F)
+
+    c0 = crossing[..., 0, :]
+    c2 = crossing[..., 2, :]
+    first_a = jnp.where(c0, qa[..., 0, :], qa[..., 1, :])
+    second_a = jnp.where(c2, qa[..., 2, :], qa[..., 1, :])
+    first_b = jnp.where(c0, qb[..., 0, :], qb[..., 1, :])
+    second_b = jnp.where(c2, qb[..., 2, :], qb[..., 1, :])
+
+    vz = valid.astype(qa.dtype)
+    a_pts = jnp.concatenate([first_a * vz, second_a * vz], axis=-1)
+    b_pts = jnp.concatenate([first_b * vz, second_b * vz], axis=-1)
+    mask = jnp.concatenate([valid, valid], axis=-1)
+    return a_pts, b_pts, mask

@@ -166,3 +166,26 @@ def test_gather_triangles(smplx_data):
     f = smplx_data["f"]
     tris = gather_triangles(v, f)
     assert tris.shape == (1, f.shape[0], 3, 3)
+
+
+def test_soa_fast_path_matches_aos(body_like):
+    """forward_from_vertices (SoA hot path) == forward (AoS reference
+    path) on every measurement tensor."""
+    verts, faces, meas, tris = body_like
+    batch = jnp.concatenate([tris, tris * 1.07], axis=0)
+    vertices = jnp.asarray(
+        np.stack([verts, verts * 1.07]), dtype=jnp.float32
+    )
+
+    aos = meas.forward(batch)["measurements"]
+    soa = jax.jit(
+        lambda v: meas.forward_from_vertices(v, faces)["measurements"]
+    )(vertices)
+
+    for name in ("mass", "height", "chest", "waist", "hips"):
+        np.testing.assert_allclose(
+            np.asarray(soa[name]["tensor"]),
+            np.asarray(aos[name]["tensor"]),
+            rtol=1e-5,
+            err_msg=name,
+        )
