@@ -199,3 +199,25 @@ def test_evaluate_hbw_offline(tmp_path, rng):
     )
     assert results["v2v_t"] < 0.004
     assert results["height_error"] < 0.02
+
+
+def test_all_a2s_variation_configs_fit(tmp_path):
+    """Every shipped a2s_variations config (the reference's 11-variant
+    polynomial A2S matrix, attributes/configs/a2s_variations_polynomial/)
+    trains and evaluates on the synthetic DB."""
+    import yaml
+
+    from shapy_tpu.cli.fit_regression import main
+
+    cfg_dir = os.path.join(REPO, "configs", "a2s_variations")
+    names = sorted(os.listdir(cfg_dir))
+    assert len(names) == 11
+    for name in names:
+        with open(os.path.join(cfg_dir, name)) as f:
+            cfg = yaml.safe_load(f)
+        cfg["use_synthetic_db"] = True
+        cfg["output_dir"] = str(tmp_path / name)
+        assert main(cfg, train=True) == 0, name
+        assert os.path.exists(
+            os.path.join(str(tmp_path / name), "last.ckpt.npz")
+        ), name
