@@ -221,3 +221,22 @@ def test_all_a2s_variation_configs_fit(tmp_path):
         assert os.path.exists(
             os.path.join(str(tmp_path / name), "last.ckpt.npz")
         ), name
+
+
+def test_examples_smoke(tmp_path):
+    """The examples/ scripts run end-to-end on synthetic assets."""
+    out = run_cli(
+        ["examples/fit_measurements.py", "--height", "1.8",
+         "--num-steps", "5"],
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "fitted" in out.stdout
+
+    png = str(tmp_path / "vis.png")
+    out = run_cli(
+        ["examples/vis_measurements.py", "--output", png],
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(png)
