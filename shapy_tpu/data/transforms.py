@@ -19,6 +19,7 @@ less signal.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -90,10 +91,61 @@ class BBoxCenterJitter:
         return sample
 
 
+class VertexFlipper:
+    """Mirror a body mesh left<->right via surface correspondences.
+
+    Reference semantics (ssp3d.py:84-94, model_agencies.py): the
+    ``vertex_flip_correspondences`` npz ships ``closest_faces`` (V, 3
+    vertex ids of the closest face on the mirrored surface) and ``bc``
+    (V, 3 barycentrics); flipped vertex i resamples the x-negated mesh
+    at that surface point. Negating x alone would produce a body with
+    left/right asymmetries (e.g. hand vertex ordering) on the wrong
+    side of the template's vertex layout.
+    """
+
+    def __init__(self, closest_faces: np.ndarray, bc: np.ndarray):
+        self.closest_faces = np.asarray(closest_faces, np.int64)
+        self.bc = np.asarray(bc, np.float32)
+
+    @classmethod
+    def from_npz(cls, path: str) -> "VertexFlipper":
+        data = np.load(os.path.expandvars(os.path.expanduser(path)))
+        return cls(data["closest_faces"], data["bc"])
+
+    @classmethod
+    def from_template(cls, vertices: np.ndarray,
+                      chunk: int = 1024) -> "VertexFlipper":
+        """Nearest-vertex correspondences computed from a template mesh
+        (capability the reference lacks — it requires the shipped npz).
+        Exact on mirror-symmetric templates; nearest-vertex otherwise."""
+        v = np.asarray(vertices, np.float64)
+        mirrored = v * np.array([-1.0, 1.0, 1.0])
+        idx = np.empty(len(v), np.int64)
+        for s in range(0, len(v), chunk):
+            d = np.linalg.norm(
+                mirrored[s:s + chunk, None, :] - v[None, :, :], axis=-1
+            )
+            idx[s:s + chunk] = np.argmin(d, axis=1)
+        closest = np.stack([idx] * 3, axis=1)
+        bc = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (len(v), 1))
+        return cls(closest, bc)
+
+    def __call__(self, vertices: np.ndarray) -> np.ndarray:
+        neg = np.asarray(vertices, np.float32) * np.array(
+            [-1.0, 1.0, 1.0], np.float32
+        )
+        return np.einsum("vc,vck->vk", self.bc, neg[self.closest_faces])
+
+
 class RandomHorizontalFlip:
-    def __init__(self, prob: float = 0.0, fmt: str = "openpose25_v1"):
+    # Sample keys holding (V, 3) GT meshes that must mirror with the image.
+    VERTEX_KEYS = ("gt_vertices", "gt_v_shaped", "v_shaped")
+
+    def __init__(self, prob: float = 0.0, fmt: str = "openpose25_v1",
+                 vertex_flipper: Optional["VertexFlipper"] = None):
         self.prob = prob
         self.perm = flip_permutation(fmt) if prob > 0 else None
+        self.vertex_flipper = vertex_flipper
 
     def __call__(self, sample: Sample, rng) -> Sample:
         if self.prob <= 0 or rng.uniform() > self.prob:
@@ -109,6 +161,10 @@ class RandomHorizontalFlip:
         c = np.asarray(sample["center"], dtype=np.float64).copy()
         c[0] = W - 1 - c[0]
         sample["center"] = c
+        if self.vertex_flipper is not None:
+            for key in self.VERTEX_KEYS:
+                if key in sample:
+                    sample[key] = self.vertex_flipper(sample[key])
         sample["is_flipped"] = True
         return sample
 
@@ -338,7 +394,16 @@ def build_transforms(
                 cfg.get("motion_blur_kernel_size_max", 7),
             ),
             RandomHorizontalFlip(
-                cfg.get("flip_prob", 0.0) if aug else 0.0, fmt
+                cfg.get("flip_prob", 0.0) if aug else 0.0, fmt,
+                vertex_flipper=(
+                    VertexFlipper.from_npz(
+                        cfg["vertex_flip_correspondences"])
+                    if aug and cfg.get("vertex_flip_correspondences")
+                    and os.path.exists(os.path.expandvars(
+                        os.path.expanduser(
+                            cfg["vertex_flip_correspondences"])))
+                    else None
+                ),
             ),
             RandomRotation(aug, cfg.get("rotation_factor", 0.0)),
             ExtremeBodyCrop(

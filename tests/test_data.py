@@ -195,3 +195,51 @@ def test_remap_roundtrip_all_reference_formats(rng):
         mask = np.ones(out.shape[1], bool)
         mask[dst_idx] = False
         assert np.all(out[:, mask] == 0)
+
+
+def test_vertex_flipper_mirror_symmetric_mesh():
+    """On a mirror-symmetric template, template-derived correspondences
+    make flipping exact: flip(v) == mirror(v) re-indexed to the
+    symmetric partner (reference ssp3d.py:84-94 semantics)."""
+    from shapy_tpu.data.transforms import VertexFlipper
+    from shapy_tpu.models.body.assets import icosphere
+
+    v, f = icosphere(2)
+    v = v * np.array([0.3, 0.8, 0.25])
+    flipper = VertexFlipper.from_template(v)
+
+    flipped = flipper(v.astype(np.float32))
+    # Flipping a perfectly mirror-symmetric body is the identity: vertex
+    # i resamples the x-negated surface at its mirror partner, landing
+    # back on its own position (reference vertices.py:47-53 semantics).
+    np.testing.assert_allclose(flipped, v.astype(np.float32), atol=1e-6)
+
+    # And an asymmetric deformation travels to the other side.
+    v2 = v.copy()
+    bump = (v[:, 0] > 0.1) & (v[:, 1] > 0.2)
+    v2[bump] *= 1.05
+    flipped2 = flipper(v2.astype(np.float32))
+    assert np.abs(flipped2[:, 0].min() - (-v2[:, 0].max())) < 1e-5
+
+
+def test_horizontal_flip_flips_gt_vertices(rng):
+    from shapy_tpu.data.transforms import (
+        RandomHorizontalFlip,
+        VertexFlipper,
+    )
+    from shapy_tpu.models.body.assets import icosphere
+
+    v, f = icosphere(2)
+    flipper = VertexFlipper.from_template(v)
+    tf = RandomHorizontalFlip(prob=1.0, vertex_flipper=flipper)
+    sample = {
+        "image": np.zeros((8, 8, 3), np.float32),
+        "center": np.array([4.0, 4.0]),
+        "gt_vertices": v.astype(np.float32),
+    }
+    out = tf(sample, np.random.default_rng(0))
+    assert out["is_flipped"]
+    # Symmetric mesh: vertex flip is the identity (content exchanged
+    # between symmetric partners, positions preserved).
+    np.testing.assert_allclose(out["gt_vertices"], v.astype(np.float32),
+                               atol=1e-6)
