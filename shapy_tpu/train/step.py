@@ -34,12 +34,32 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _bias_mask(params):
+    """True for parameters whose name contains 'bias' — the reference's
+    per-group predicate (optimizers/build.py:27-29)."""
+    def label(path, _leaf):
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        return "bias" in name
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _not_bias_mask(params):
+    return jax.tree_util.tree_map(lambda b: not b, _bias_mask(params))
+
+
 def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransformation:
-    """Adam / SGD + multi-step or exponential schedule
-    (optimizers/build.py:14-86)."""
+    """Adam / AdamW / SGD / RMSprop + step / multi-step / exponential
+    schedules, with the reference's per-group bias treatment
+    (optimizers/build.py:14-86: bias params get lr * bias_lr_factor and
+    weight_decay_bias instead of weight_decay)."""
     cfg = dict(optim_cfg or {})
     lr = float(cfg.get("lr", 1e-4))
     weight_decay = float(cfg.get("weight_decay", 0.0))
+    weight_decay_bias = float(cfg.get("weight_decay_bias", 0.0))
+    bias_lr_factor = float(cfg.get("bias_lr_factor", 1.0))
     sched_cfg = dict(cfg.get("scheduler") or {})
     sched_type = sched_cfg.get("type", "none")
 
@@ -48,6 +68,11 @@ def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransform
         milestones = list(sched_cfg.get("milestones", []))
         schedule = optax.piecewise_constant_schedule(
             lr, {int(m): gamma for m in milestones}
+        )
+    elif sched_type == "step-lr":
+        schedule = optax.exponential_decay(
+            lr, int(sched_cfg.get("step_size", 1000)),
+            float(sched_cfg.get("gamma", 0.1)), staircase=True,
         )
     elif sched_type in ("exp", "exponential"):
         schedule = optax.exponential_decay(
@@ -58,22 +83,50 @@ def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransform
         schedule = lr
 
     opt_type = cfg.get("type", "adam")
-    if opt_type == "adam":
+    if opt_type in ("adam", "adamw"):
         adam_cfg = dict(cfg.get("adam") or {})
         betas = adam_cfg.get("betas", (0.9, 0.999))
-        if weight_decay > 0:
-            tx = optax.adamw(schedule, b1=betas[0], b2=betas[1],
-                             weight_decay=weight_decay)
-        else:
-            tx = optax.adam(schedule, b1=betas[0], b2=betas[1])
+        eps = float(adam_cfg.get("eps", 1e-8))
+        tx = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+        if opt_type == "adamw" and weight_decay == 0.0:
+            weight_decay = float(adam_cfg.get("weight_decay", 1e-2))
     elif opt_type == "sgd":
         sgd_cfg = dict(cfg.get("sgd") or {})
-        tx = optax.sgd(schedule, momentum=float(sgd_cfg.get("momentum", 0.9)))
-        if weight_decay > 0:
-            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+        tx = optax.sgd(
+            schedule, momentum=float(sgd_cfg.get("momentum", 0.9)),
+            nesterov=bool(sgd_cfg.get("nesterov", False)),
+        )
+    elif opt_type == "rmsprop":
+        rms_cfg = dict(cfg.get("rmsprop") or {})
+        tx = optax.rmsprop(
+            schedule,
+            decay=float(rms_cfg.get("alpha", 0.99)),
+            eps=float(rms_cfg.get("eps", 1e-8)),
+            momentum=float(rms_cfg.get("momentum", 0.0)),
+        )
     else:
         raise ValueError(f"Unknown optimizer type: {opt_type}")
-    return tx
+
+    chain = []
+    # Decoupled decay BEFORE the optimizer update, per param group (the
+    # reference passes weight_decay to the torch optimizers per group).
+    if weight_decay > 0:
+        chain.append(
+            optax.masked(optax.add_decayed_weights(weight_decay),
+                         _not_bias_mask)
+        )
+    if weight_decay_bias > 0:
+        chain.append(
+            optax.masked(optax.add_decayed_weights(weight_decay_bias),
+                         _bias_mask)
+        )
+    chain.append(tx)
+    # lr * bias_lr_factor for bias params == scaling their update.
+    if bias_lr_factor != 1.0:
+        chain.append(
+            optax.masked(optax.scale(bias_lr_factor), _bias_mask)
+        )
+    return optax.chain(*chain) if len(chain) > 1 else tx
 
 
 def is_batch_stat(path_str: str) -> bool:

@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import chex
 import pytest
 
 from shapy_tpu.losses.priors import GenderShapePrior, NormalShapePrior
@@ -184,3 +185,55 @@ def test_optimizer_schedules():
     state2 = tx2.init(params)
     u2, _ = tx2.update(g, state2, params)
     np.testing.assert_allclose(np.asarray(u2["w"]), -1e-2, rtol=1e-5)
+
+
+def test_optimizer_zoo_and_bias_groups():
+    """All reference optimizer types + schedules build and step; bias
+    params get lr * bias_lr_factor (optimizers/build.py:14-61)."""
+    import optax
+
+    from shapy_tpu.train.step import build_optimizer
+
+    params = {
+        "layer.weight": jnp.ones((4, 4)),
+        "layer.bias": jnp.ones((4,)),
+    }
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    for cfg in (
+        {"type": "adam"},
+        {"type": "adamw"},
+        {"type": "sgd", "sgd": {"momentum": 0.0}},
+        {"type": "rmsprop"},
+        {"type": "adam", "scheduler": {"type": "step-lr",
+                                       "step_size": 10, "gamma": 0.5}},
+        {"type": "adam", "scheduler": {"type": "multi-step-lr",
+                                       "milestones": [5], "gamma": 0.1}},
+    ):
+        tx = build_optimizer(dict(cfg, lr=1e-2))
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        chex.assert_trees_all_equal_shapes(updates, params)
+
+    # bias_lr_factor scales only the bias update (sgd: update = -lr * g)
+    tx = build_optimizer({"type": "sgd", "lr": 1e-2,
+                          "sgd": {"momentum": 0.0},
+                          "bias_lr_factor": 2.0})
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["layer.weight"]), -1e-2,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["layer.bias"]), -2e-2,
+                               rtol=1e-6)
+
+    # weight_decay applies to weights, weight_decay_bias to biases
+    tx = build_optimizer({"type": "sgd", "lr": 1.0,
+                          "sgd": {"momentum": 0.0},
+                          "weight_decay": 0.5,
+                          "weight_decay_bias": 0.25})
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["layer.weight"]),
+                               -(1.0 + 0.5), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["layer.bias"]),
+                               -(1.0 + 0.25), rtol=1e-6)
