@@ -1,4 +1,5 @@
 from shapy_tpu.models.discriminator.build import (  # noqa: F401
-    build_discriminator,
+    HMRDiscriminator,
     PoseDiscriminator,
+    build_discriminator,
 )

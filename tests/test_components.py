@@ -91,7 +91,8 @@ def test_vertices_flip_index():
 
 
 def test_discriminator(rng):
-    disc = build_discriminator({"num_joints": 21, "num_betas": 10})
+    disc = build_discriminator({"type": "per-joint",
+                                "num_joints": 21, "num_betas": 10})
     from tests.golden_numpy import random_rotmats
 
     rots = jnp.asarray(random_rotmats(rng, (4, 21)), jnp.float32)
@@ -99,6 +100,33 @@ def test_discriminator(rng):
     logits = disc(rots, betas)
     assert logits.shape == (4, 23)  # 21 per-joint + all-joints + shape
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hmr_discriminator_matches_reference_shapes(rng):
+    """The default 'hmr' discriminator mirrors the reference topology
+    (models/discriminator/build.py:45-90): (B, J+1) logits, spectral
+    norm keeps every effective weight at unit spectral radius."""
+    from tests.golden_numpy import random_rotmats
+
+    disc = build_discriminator({"num_joints": 21})
+    rots = jnp.asarray(random_rotmats(rng, (4, 21)), jnp.float32)
+    logits, upd = disc.apply(disc.params, rots, train=True)
+    assert logits.shape == (4, 22)  # 21 part logits + 1 full-pose logit
+    assert np.isfinite(np.asarray(logits)).all()
+    assert set(upd) == set(disc.LAYERS)
+
+    # After a few power iterations the normalised weight has sigma ~1.
+    params = disc.params
+    for _ in range(50):
+        _, upd = disc.apply(params, rots, train=True)
+        for k, u in upd.items():
+            params[k] = dict(params[k], u=u)
+    w = np.asarray(params["linear1"]["weight"])
+    u = np.asarray(params["linear1"]["u"])
+    from shapy_tpu.models.discriminator.build import _spectral_sigma
+    sigma, _ = _spectral_sigma(jnp.asarray(w).T, jnp.asarray(u))
+    top = np.linalg.svd(w, compute_uv=False)[0]
+    assert abs(float(sigma) - top) / top < 0.02
 
 
 def test_rnn_iterative_head(smplx_data):
