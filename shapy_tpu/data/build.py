@@ -284,8 +284,17 @@ def build_all_data_loaders(
         names = list(splits_map.get(split) or [])
         if not names or part_batch[part] <= 0:
             continue
+        transf_cfg = dict(part_cfg.get("transforms") or {})
+        # Part-level key in the reference layout
+        # (datasets_defaults.py:239, demo yaml datasets.shape.*): GT
+        # meshes mirror through these correspondences on flip augment.
+        if part_cfg.get("vertex_flip_correspondences"):
+            transf_cfg.setdefault(
+                "vertex_flip_correspondences",
+                part_cfg["vertex_flip_correspondences"],
+            )
         transforms = build_transforms(
-            dict(part_cfg.get("transforms") or {}),
+            transf_cfg,
             is_train=is_train,
             enable_augment=enable_augment,
             return_full_imgs=return_full_imgs,
