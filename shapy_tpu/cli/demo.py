@@ -21,7 +21,7 @@ import argparse
 import os
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

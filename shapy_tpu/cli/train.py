@@ -16,8 +16,7 @@ from typing import Dict
 
 def main(exp_cfg: Dict, output_folder: str = "output",
          num_steps: int = 0, num_devices_data: int = 0) -> int:
-    import jax
-
+    
     from shapy_tpu.cli.demo import build_demo_regressor
     from shapy_tpu.data.build import build_all_data_loaders
     from shapy_tpu.io.checkpoint import Checkpointer

@@ -17,7 +17,7 @@ GIL), replacing torch DataLoader workers.
 from __future__ import annotations
 
 import queue
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import numpy as np
 

@@ -17,11 +17,7 @@ import json
 import os
 from typing import Dict, List, Optional
 
-import numpy as np
-
-from shapy_tpu.data.bbox import bbox_to_center_scale, keyps_to_bbox
-from shapy_tpu.data.openpose import threshold_and_keep_parts
-from shapy_tpu.data.datasets.openpose import OpenPoseDataset, read_img
+from shapy_tpu.data.datasets.openpose import OpenPoseDataset
 
 
 class OpenPoseTracksDataset(OpenPoseDataset):

@@ -10,7 +10,7 @@ gender balancing. Both operate over a ConcatDataset-style global index.
 from __future__ import annotations
 
 from itertools import cycle
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -17,7 +17,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 from shapy_tpu.utils.logging import get_logger
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 from shapy_tpu.io.torch_import import load_torch_file, state_dict_to_numpy
 from shapy_tpu.models.backbones.hrnet_import import import_hrnet_state_dict

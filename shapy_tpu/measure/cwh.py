@@ -7,12 +7,9 @@ BodyMeasurements used when height/mass supervision is absent.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
-from shapy_tpu.measure.measurements import (
-    BodyMeasurements,
-    MeasurementAnchors,
-)
+from shapy_tpu.measure.measurements import BodyMeasurements
 
 
 class ChestWaistHipsMeasurements(BodyMeasurements):

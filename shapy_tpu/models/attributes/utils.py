@@ -7,7 +7,7 @@ ridge.py`` (standalone ridge regression).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

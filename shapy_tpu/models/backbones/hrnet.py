@@ -36,7 +36,6 @@ from shapy_tpu.models.backbones.layers import (
     batch_norm,
     bn_fold_params,
     bottleneck_block,
-    conv2d,
     conv_bn_relu,
     nearest_upsample,
 )
