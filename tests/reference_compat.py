@@ -116,6 +116,66 @@ class Bottleneck(nn.Module):
         return self.relu(out)
 
 
+class ResNet(nn.Module):
+    """torchvision.models.resnet.ResNet stand-in (standard topology),
+    enough for the reference's RegressionResNet subclass
+    (models/backbone/resnet.py:14-103)."""
+
+    def __init__(self, block, layers, num_classes=1000,
+                 zero_init_residual=False, groups=1, width_per_group=64,
+                 replace_stride_with_dilation=None, norm_layer=None):
+        super().__init__()
+        if norm_layer is None:
+            norm_layer = nn.BatchNorm2d
+        self._norm_layer = norm_layer
+        self.inplanes = 64
+        self.dilation = 1
+        if replace_stride_with_dilation is None:
+            replace_stride_with_dilation = [False, False, False]
+        self.groups = groups
+        self.base_width = width_per_group
+        self.conv1 = nn.Conv2d(3, self.inplanes, kernel_size=7, stride=2,
+                               padding=3, bias=False)
+        self.bn1 = norm_layer(self.inplanes)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(
+            block, 128, layers[1], stride=2,
+            dilate=replace_stride_with_dilation[0])
+        self.layer3 = self._make_layer(
+            block, 256, layers[2], stride=2,
+            dilate=replace_stride_with_dilation[1])
+        self.layer4 = self._make_layer(
+            block, 512, layers[3], stride=2,
+            dilate=replace_stride_with_dilation[2])
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+    def _make_layer(self, block, planes, blocks, stride=1, dilate=False):
+        norm_layer = self._norm_layer
+        downsample = None
+        previous_dilation = self.dilation
+        if dilate:
+            self.dilation *= stride
+            stride = 1
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                _conv1x1(self.inplanes, planes * block.expansion, stride),
+                norm_layer(planes * block.expansion),
+            )
+        layers = [block(self.inplanes, planes, stride, downsample,
+                        self.groups, self.base_width, previous_dilation,
+                        norm_layer)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, blocks):
+            layers.append(block(self.inplanes, planes, groups=self.groups,
+                                base_width=self.base_width,
+                                dilation=self.dilation,
+                                norm_layer=norm_layer))
+        return nn.Sequential(*layers)
+
+
 # ---------------------------------------------------------------------------
 # stub installation
 # ---------------------------------------------------------------------------
@@ -147,6 +207,10 @@ def install_stubs():
         {
             "BasicBlock": BasicBlock,
             "Bottleneck": Bottleneck,
+            "ResNet": ResNet,
+            "model_urls": {
+                f"resnet{n}": "" for n in (18, 34, 50, 101, 152)
+            },
             "conv1x1": _conv1x1,
             "conv3x3": _conv3x3,
         },
@@ -271,6 +335,14 @@ def load_ref_hrnet():
     return _load_file(
         "human_shape.models.backbone.hrnet",
         "regressor/human_shape/models/backbone/hrnet.py",
+    )
+
+
+def load_ref_resnet():
+    setup()
+    return _load_file(
+        "human_shape.models.backbone.resnet",
+        "regressor/human_shape/models/backbone/resnet.py",
     )
 
 

@@ -437,3 +437,40 @@ def test_hrnet_full_graph_parity(rng):
 
 def test_hrnet_old_impl_parity(rng):
     _hrnet_parity(True, rng)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 full graph
+# ---------------------------------------------------------------------------
+
+def test_resnet50_parity(rng):
+    """Our resnet_forward == the reference's RegressionResNet(resnet50)
+    (models/backbone/resnet.py:14-150, torchvision topology) with random
+    weights, eval mode (BN-folded on our side)."""
+    from shapy_tpu.models.backbones.hrnet_import import (
+        import_hrnet_state_dict,
+    )
+    from shapy_tpu.models.backbones.resnet import resnet_forward
+
+    rmod = rc.load_ref_resnet()
+    ref = rmod.resnets["resnet50"](pretrained=False)
+    rc.randomize_state_dict(ref, seed=47)
+    ref.eval()
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+
+    params = import_hrnet_state_dict(rc.state_dict_numpy(ref))
+    got = resnet_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         depth=50)
+
+    np.testing.assert_allclose(
+        np.asarray(got["avg_pooling"]), _np(ref_out["avg_pooling"]),
+        atol=5e-4, rtol=1e-3,
+    )
+    for key in ("layer1", "layer2", "layer3", "layer4"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]).transpose(0, 3, 1, 2),
+            _np(ref_out[key]), atol=1e-2, rtol=2e-2,
+        )
