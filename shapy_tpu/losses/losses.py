@@ -119,6 +119,30 @@ def mse_loss(pred: Array, gt: Array) -> Array:
     return jnp.mean((pred - gt) ** 2)
 
 
+def l1_loss(pred: Array, gt: Array) -> Array:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def bce_logits_loss(pred_logits: Array, gt: Array) -> Array:
+    """nn.BCEWithLogitsLoss (reference build_loss 'bce-logits'). Same
+    expression as bce_loss — kept as a distinct factory entry because
+    the reference's 'bce' takes probabilities; ours is logit-stable for
+    both names."""
+    return bce_loss(pred_logits, gt)
+
+
+def cross_entropy_loss(pred_logits: Array, gt: Array,
+                       ignore_index: int = -100) -> Array:
+    """nn.CrossEntropyLoss over class logits (B, C) with int labels
+    (B,); ignore_index rows drop out of the mean."""
+    logp = jax.nn.log_softmax(pred_logits, axis=-1)
+    valid = gt != ignore_index
+    safe = jnp.where(valid, gt, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+
 LOSS_FACTORY: Dict[str, Callable] = {
     "keypoints": keypoint_loss,
     "gmof": lambda p, g, c=None, rho=100.0: keypoint_loss(
@@ -130,6 +154,9 @@ LOSS_FACTORY: Dict[str, Callable] = {
     "vertex-edge": vertex_edge_loss,
     "rotation": rotation_loss,
     "bce": bce_loss,
+    "bce-logits": bce_logits_loss,
+    "cross-entropy": cross_entropy_loss,
+    "l1": l1_loss,
     "mse": mse_loss,
 }
 

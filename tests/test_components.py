@@ -238,3 +238,32 @@ def test_adversarial_losses(rng):
     adv = build_adv_loss(lambda p, x: jnp.ones((x.shape[0], 22)),
                          {"type": "lsgan"})
     assert float(adv.generator_loss(None, fake)) == 0.0
+
+
+def test_loss_factory_covers_reference_types():
+    """Every type the reference build_loss accepts (losses.py:46-75)
+    builds and evaluates here."""
+    import torch
+
+    from shapy_tpu.losses.losses import LOSS_FACTORY, build_loss
+
+    for t in ("gmof", "keypoints", "l2", "weighted-l1", "keypoint-edge",
+              "vertex-edge", "bce", "bce-logits", "cross-entropy", "l1",
+              "rotation"):
+        assert t in LOSS_FACTORY, t
+
+    # cross-entropy matches torch incl. ignore_index
+    logits = np.random.default_rng(3).normal(size=(6, 4)).astype(np.float32)
+    labels = np.array([0, 1, 2, -100, 3, 1])
+    ours = float(build_loss("cross-entropy")(
+        jnp.asarray(logits), jnp.asarray(labels)))
+    ref = float(torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(logits), torch.from_numpy(labels)))
+    assert abs(ours - ref) < 1e-5
+
+    # l1 matches torch
+    a = np.random.default_rng(4).normal(size=(5, 3)).astype(np.float32)
+    b = np.random.default_rng(5).normal(size=(5, 3)).astype(np.float32)
+    ours = float(build_loss("l1")(jnp.asarray(a), jnp.asarray(b)))
+    ref = float(torch.nn.L1Loss()(torch.from_numpy(a), torch.from_numpy(b)))
+    assert abs(ours - ref) < 1e-6
