@@ -218,3 +218,116 @@ def init_train_state(regressor, tx) -> TrainState:
         opt_state=tx.init(regressor.params),
         step=jnp.asarray(0, jnp.int32),
     )
+
+
+def make_adversarial_train_step(
+    regressor,
+    losses,
+    adv_loss,
+    disc,
+    tx,
+    tx_disc,
+    learn_mean: bool = False,
+    pose_key: str = "body_pose",
+):
+    """Adversarial training step — capability the reference declares but
+    never implements (models/build.py:26-31 raises NotImplementedError
+    for ``use_adv_training``; the discriminator, GAN losses, and
+    discriminator-optimizer builders all ship unused).
+
+    One call does both updates, HMR-style:
+
+      1. generator (regressor): task losses + ``adv_loss.generator_loss``
+         on the last stage's decoded ``pose_key`` rotations;
+      2. discriminator: ``adv_loss.discriminator_loss`` on (predicted,
+         ``batch['real_body_pose']``) rotations, with spectral-norm
+         power-iteration ``u`` buffers refreshed functionally (like BN
+         stats) and excluded from gradient updates.
+
+    Returns ``step(state, disc_state, images, batch, rng) ->
+    (state, disc_state, metrics)``; jit/shard like make_train_step.
+    """
+
+    def disc_logits(dparams, x):
+        return disc.apply(dparams, x)[0]
+
+    def step(state: TrainState, disc_state: TrainState, images, batch, rng):
+        # -- generator update ------------------------------------------
+        def gen_compute(params):
+            out, stat_updates = forward_with_stats(
+                regressor, params, images, batch, rng
+            )
+            loss_dict = losses(out, batch)
+            stage = out[f"stage_{regressor.num_stages - 1:02d}"]
+            fake = stage[pose_key]
+            g_adv = adv_loss.generator_loss(disc_state.params, fake)
+            total = loss_dict["total"] + g_adv
+            loss_dict = dict(loss_dict, adv_gen=g_adv, total=total)
+            return total, (loss_dict, stat_updates,
+                           jax.lax.stop_gradient(fake))
+
+        grads, (loss_dict, stat_updates, fake) = jax.grad(
+            gen_compute, has_aux=True
+        )(state.params)
+
+        def zero_stats(path, g):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if is_batch_stat(str(name)):
+                return jnp.zeros_like(g)
+            if not learn_mean and "param_mean" in str(name):
+                return jnp.zeros_like(g)
+            return g
+
+        grads = jax.tree_util.tree_map_with_path(zero_stats, grads)
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        backbone = dict(new_params["backbone"])
+        backbone.update(stat_updates)
+        new_params = {**new_params, "backbone": backbone}
+
+        # -- discriminator update --------------------------------------
+        real = batch["real_body_pose"]
+
+        def disc_compute(dparams):
+            return adv_loss.discriminator_loss(dparams, fake, real)
+
+        d_grads, d_aux = jax.grad(
+            disc_compute, has_aux=True
+        )(disc_state.params)
+        # power-iteration u estimates are buffers, not parameters
+        d_grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: (
+                jnp.zeros_like(g)
+                if str(getattr(path[-1], "key", path[-1])) == "u" else g
+            ),
+            d_grads,
+        )
+        d_updates, d_opt_state = tx_disc.update(
+            d_grads, disc_state.opt_state, disc_state.params
+        )
+        d_params = optax.apply_updates(disc_state.params, d_updates)
+        # refresh the spectral-norm u buffers at the new weights
+        _, u_updates = disc.apply(d_params, fake, train=True)
+        d_params = {
+            layer: (
+                dict(sub, u=u_updates[layer]) if layer in u_updates else sub
+            )
+            for layer, sub in d_params.items()
+        }
+
+        d_loss, _ = disc_compute(disc_state.params)
+        metrics = dict(loss_dict, adv_disc=d_loss)
+        for k, v in d_aux.items():
+            if jnp.ndim(v) == 0:
+                metrics[f"adv_{k}"] = v
+        return (
+            TrainState(params=new_params, opt_state=new_opt_state,
+                       step=state.step + 1),
+            TrainState(params=d_params, opt_state=d_opt_state,
+                       step=disc_state.step + 1),
+            metrics,
+        )
+
+    return step

@@ -237,3 +237,57 @@ def test_optimizer_zoo_and_bias_groups():
                                -(1.0 + 0.5), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(updates["layer.bias"]),
                                -(1.0 + 0.25), rtol=1e-6)
+
+
+def test_adversarial_train_step(tiny_regressor):
+    """Generator + discriminator co-update (capability the reference
+    stubs out: models/build.py raises NotImplementedError for
+    use_adv_training). Both losses finite, both states advance, the
+    spectral-norm u buffers move."""
+    from shapy_tpu.losses.adversarial import build_adv_loss
+    from shapy_tpu.models.discriminator import build_discriminator
+    from shapy_tpu.train.step import (
+        TrainState,
+        make_adversarial_train_step,
+    )
+    from tests.golden_numpy import random_rotmats
+
+    B = 4
+    batch, _ = make_batch(B)
+    rngnp = np.random.default_rng(7)
+    # body_pose for SMPL-X: 21 body joints
+    batch["real_body_pose"] = jnp.asarray(
+        random_rotmats(rngnp, (B, 21)), jnp.float32)
+    images = jnp.asarray(rngnp.normal(size=(B, 64, 64, 3)), jnp.float32)
+
+    losses = RegressorLosses(
+        {"body": {"body_joints_2d": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}},
+    )
+    disc = build_discriminator({"num_joints": 21})
+    adv = build_adv_loss(
+        lambda p, x: disc.apply(p, x)[0], {"type": "lsgan", "weight": 0.1}
+    )
+    tx = build_optimizer({"type": "adam", "lr": 1e-3})
+    tx_d = build_optimizer({"type": "adam", "lr": 1e-3})
+    state = init_train_state(tiny_regressor, tx)
+    disc_state = TrainState(
+        params=disc.params, opt_state=tx_d.init(disc.params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+    step = jax.jit(make_adversarial_train_step(
+        tiny_regressor, losses, adv, disc, tx, tx_d))
+    u0 = np.asarray(disc_state.params["linear1"]["u"])
+    rng = jax.random.PRNGKey(0)
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, disc_state, metrics = step(
+            state, disc_state, images, batch, sub
+        )
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["adv_gen"]))
+    assert np.isfinite(float(metrics["adv_disc"]))
+    assert int(state.step) == 3 and int(disc_state.step) == 3
+    u1 = np.asarray(disc_state.params["linear1"]["u"])
+    assert not np.allclose(u0, u1)
