@@ -111,9 +111,14 @@ def make_barrier_prior(margin: float = 1.0, barrier: str = "log",
 
 
 def make_gmm_prior(path: str, num_gaussians: int = 6,
-                   epsilon: float = 1e-16) -> Callable:
-    """Max-component GMM negative log likelihood over pose
-    (priors.py:254-379; the classic SMPLify pose prior)."""
+                   epsilon: float = 1e-16, use_max: bool = False
+                   ) -> Callable:
+    """GMM negative log likelihood over pose (priors.py:254-379; the
+    classic SMPLify pose prior). Default mode matches the reference's
+    ``logsumexp_likelihood`` (use_max=False); ``use_max=True`` mirrors
+    its ``max_log_likelihood`` (the min over per-component NLLs, with
+    the reference's own sign convention on the weight term,
+    priors.py:335-350)."""
     path = os.path.expanduser(os.path.expandvars(path))
     with open(path, "rb") as f:
         gmm = pickle.load(f, encoding="latin1")
@@ -135,13 +140,21 @@ def make_gmm_prior(path: str, num_gaussians: int = 6,
         flat = pose.reshape(pose.shape[0], -1)[:, :D]
         diff = flat[:, None, :] - means[None]  # (B, K, D)
         mah = jnp.einsum("bkd,kde,bke->bk", diff, precisions, diff)
-        log_prob = (
+        if use_max:
+            # reference max_log_likelihood: min over components of
+            # -0.5*(mah + logdet + D*log(2pi)) - log_w, reduced by mean.
+            comp = (
+                -0.5 * (mah + logdets[None] + D * jnp.log(2 * jnp.pi))
+                - log_weights[None]
+            )
+            return jnp.mean(jnp.min(comp, axis=-1))
+        exponent = (
             log_weights[None]
-            - 0.5 * mah
-            - 0.5 * logdets[None]
             - 0.5 * D * jnp.log(2 * jnp.pi)
+            - 0.5 * logdets[None]
+            - 0.5 * mah
         )
-        return -jnp.mean(jnp.max(log_prob, axis=-1))
+        return jnp.mean(-jax.nn.logsumexp(exponent, axis=-1))
 
     return prior
 

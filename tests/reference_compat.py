@@ -194,6 +194,8 @@ def _ensure_module(name, attrs=None, path=None):
 
 def install_stubs():
     _ensure_module("loguru", {"logger": _NoOpLogger()})
+    # only referenced inside a NotImplementedError branch (priors.py:371)
+    _ensure_module("kornia", {"rotation_matrix_to_angle_axis": None})
     yacs = _ensure_module("yacs")
     yacs_cfg = _ensure_module("yacs.config", {"CfgNode": AttrDict})
     yacs.config = yacs_cfg
@@ -246,6 +248,7 @@ _PACKAGES = {
     "human_shape.models.camera": "regressor/human_shape/models/camera",
     "human_shape.models.backbone": "regressor/human_shape/models/backbone",
     "human_shape.utils": "regressor/human_shape/utils",
+    "human_shape.losses": "regressor/human_shape/losses",
     "attributes": "attributes/attributes",
     "attributes.utils": "attributes/attributes/utils",
     "attributes.attributes_betas": "attributes/attributes/attributes_betas",
@@ -335,6 +338,14 @@ def load_ref_hrnet():
     return _load_file(
         "human_shape.models.backbone.hrnet",
         "regressor/human_shape/models/backbone/hrnet.py",
+    )
+
+
+def load_ref_priors():
+    setup()
+    return _load_file(
+        "human_shape.losses.priors",
+        "regressor/human_shape/losses/priors.py",
     )
 
 

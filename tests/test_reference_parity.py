@@ -474,3 +474,39 @@ def test_resnet50_parity(rng):
             np.asarray(got[key]).transpose(0, 3, 1, 2),
             _np(ref_out[key]), atol=1e-2, rtol=2e-2,
         )
+
+
+# ---------------------------------------------------------------------------
+# GMM pose prior
+# ---------------------------------------------------------------------------
+
+def test_gmm_prior_parity(rng, tmp_path):
+    """Our make_gmm_prior == the reference GMMPrior (priors.py:254-379)
+    for both likelihood modes, on a synthesized GMM pickle."""
+    import pickle
+
+    from shapy_tpu.losses.priors import make_gmm_prior
+
+    K, D, B = 4, 9, 6
+    means = rng.normal(size=(K, D)).astype(np.float64)
+    covs = []
+    for _ in range(K):
+        a = rng.normal(size=(D, D))
+        covs.append(a @ a.T + np.eye(D) * 0.5)
+    covs = np.stack(covs)
+    weights = rng.uniform(0.5, 1.5, size=K)
+    weights = weights / weights.sum()
+    path = str(tmp_path / "gmm.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"means": means, "covars": covs,
+                     "weights": weights}, f)
+
+    pmod = rc.load_ref_priors()
+    pose = rng.normal(size=(B, D)).astype(np.float32)
+
+    for use_max in (False, True):
+        ref = pmod.GMMPrior(path, num_gaussians=K, use_max=use_max)
+        ref_val = float(ref(torch.from_numpy(pose)))
+        ours = make_gmm_prior(path, num_gaussians=K, use_max=use_max)
+        got = float(ours(jnp.asarray(pose)))
+        assert got == pytest.approx(ref_val, rel=1e-4), f"use_max={use_max}"
