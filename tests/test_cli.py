@@ -240,3 +240,59 @@ def test_examples_smoke(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.exists(png)
+
+
+def test_import_checkpoint_cli(tmp_path):
+    """torch checkpoint -> orbax conversion CLI: converts and the orbax
+    checkpoint round-trips through Checkpointer.load."""
+    import torch
+
+    from shapy_tpu.cli.demo import build_demo_regressor
+    from shapy_tpu.io.checkpoint import Checkpointer
+
+    os.environ.setdefault("SHAPY_TPU_SYNTHETIC_BODY", "1")
+    os.environ.setdefault("SHAPY_TPU_TEST_SUBDIV", "2")
+    cfg = {"network": {"smplx": {
+        "num_stages": 2, "predict_hands": False, "predict_face": False,
+        "backbone": {"type": "resnet", "depth": 18},
+        "mlp": {"layers": [32], "dropout": 0.0},
+    }}}
+    reg = build_demo_regressor(cfg)
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    for k, v in reg.params["backbone"].items():
+        arr = rng.normal(size=np.asarray(v).shape).astype(np.float32)
+        if k.endswith("running_var"):
+            arr = np.abs(arr) + 0.5
+        if k.endswith(".weight") and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[f"backbone.{k}"] = torch.tensor(arr)
+    for k, v in reg.params["head"].items():
+        sd[f"regressor.module.{k}"] = torch.tensor(
+            rng.normal(size=np.asarray(v).shape).astype(np.float32))
+    torch_path = str(tmp_path / "ckpt.pt")
+    torch.save({"model": sd}, torch_path)
+
+    import yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    outdir = str(tmp_path / "converted")
+    out = run_cli(
+        ["-m", "shapy_tpu.cli.import_checkpoint",
+         "--torch-checkpoint", torch_path, "--exp-cfg", cfg_path,
+         "--output-dir", outdir],
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "wrote" in out.stdout
+
+    loaded = Checkpointer(save_dir=outdir).load(
+        template={"params": reg.params})
+    assert loaded is not None
+    got = np.asarray(loaded["params"]["backbone"]["conv1.weight"])
+    want = np.asarray(sd["backbone.conv1.weight"]).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
