@@ -510,3 +510,98 @@ def test_gmm_prior_parity(rng, tmp_path):
         ours = make_gmm_prior(path, num_gaussians=K, use_max=use_max)
         got = float(ours(jnp.asarray(pose)))
         assert got == pytest.approx(ref_val, rel=1e-4), f"use_max={use_max}"
+
+
+# ---------------------------------------------------------------------------
+# crop warp
+# ---------------------------------------------------------------------------
+
+def test_crop_warp_parity(rng):
+    """Our single-affine crop == the reference hourglass crop
+    (transf_utils.py:9-100) pixel-for-pixel (away from the border
+    where the reference's pad-then-rotate and our one-warp differ in
+    extrapolation), across scales and rotations."""
+    import importlib.util
+
+    rc.setup()  # installs the loguru stub the reference file imports
+    spec = importlib.util.spec_from_file_location(
+        "ref_transf_utils",
+        "/root/reference/regressor/human_shape/utils/transf_utils.py",
+    )
+    tu_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tu_mod)
+
+    from shapy_tpu.data.crop import crop_image
+
+    # Smooth low-frequency content: the reference resamples via PIL
+    # resize (area/antialias kernel) while ours is a single bilinear
+    # affine — identical geometry (delta-image argmax and gradient
+    # corners agree to <0.05 px) but different interpolation kernels,
+    # which diverge on per-pixel noise. Real crops are photographs, so
+    # smooth content is the meaningful comparison.
+    yy, xx = np.mgrid[0:123, 0:97].astype(np.float32)
+    img = np.stack([
+        127 + 90 * np.sin(xx / 17.0) * np.cos(yy / 23.0),
+        127 + 90 * np.cos(xx / 11.0 + 1.0),
+        127 + 90 * np.sin(yy / 13.0 + 2.0),
+    ], axis=-1).astype(np.float32)
+    res = (64, 64)
+    for center, scale in (
+        ((50.0, 60.0), 0.35),
+        ((40.0, 70.0), 0.5),
+        ((48.0, 61.0), 0.4),
+    ):
+        ref = tu_mod.crop(img, np.asarray(center), scale, res, rot=0)
+        got = crop_image(img, np.asarray(center), scale, res, rot_deg=0)
+        assert got.shape == ref.shape
+        # The reference downsamples via PIL (area/antialias kernel),
+        # we use one bilinear warp — same geometry, different kernels.
+        # A 3x3 box blur cancels the kernel difference; any >=1 px
+        # misalignment would survive it. 4px interior margin tolerates
+        # border extrapolation differences.
+        import cv2
+
+        # 8px interior margin: at scale 0.5 centred at x=40 the crop
+        # extends 10 source px past the image edge (~7 crop px of
+        # differently-extrapolated border).
+        a = cv2.blur(np.asarray(got), (3, 3))[8:-8, 8:-8]
+        b = cv2.blur(np.asarray(ref), (3, 3))[8:-8, 8:-8]
+        # Residual differences after the blur are <3/255 (~1%): PIL's
+        # top-left-aligned resize vs our exact affine differ by a
+        # ~0.05 px convention offset. atol=4 bounds that while still
+        # failing on any >=1 px misalignment (which shifts smooth
+        # content by ~10/255 at these wavelengths).
+        close = np.isclose(a, b, atol=4.0)
+        assert close.mean() > 0.99, (center, scale, close.mean())
+
+    # Rotated crops: the reference resamples TWICE (PIL resize, then
+    # rotate on the padded crop) where we warp once — intentionally
+    # sharper (transforms.py module docstring), so pixel equality is not
+    # the spec. Verify the geometry instead: a delta image must land on
+    # the same crop pixel under rotation.
+    for rot in (15.0, -30.0):
+        delta_r = np.zeros((123, 97, 3), np.float32)
+        delta_r[70, 40] = 100.0
+        ref = tu_mod.crop(delta_r, np.asarray([48.0, 61.0]), 0.4, res,
+                          rot=rot)
+        got = crop_image(delta_r, np.asarray([48.0, 61.0]), 0.4, res,
+                         rot_deg=rot)
+        ri = np.unravel_index(np.argmax(ref[..., 0]), res)
+        gi = np.unravel_index(np.argmax(np.asarray(got)[..., 0]), res)
+        assert abs(ri[0] - gi[0]) <= 1 and abs(ri[1] - gi[1]) <= 1, (
+            rot, ri, gi)
+
+    # Exact geometric alignment: a delta image lands on the same crop
+    # pixel, and a linear ramp matches at the corners to < 0.1 px.
+    delta = np.zeros((123, 97, 3), np.float32)
+    delta[60, 50] = 100.0
+    ref = tu_mod.crop(delta, np.asarray([50.0, 60.0]), 0.35, res, rot=0)
+    got = crop_image(delta, np.asarray([50.0, 60.0]), 0.35, res, rot_deg=0)
+    assert (np.unravel_index(np.argmax(ref[..., 0]), res)
+            == np.unravel_index(np.argmax(np.asarray(got)[..., 0]), res))
+    ramp = np.tile(np.arange(97, dtype=np.float32), (123, 1))[..., None]
+    ramp = np.repeat(ramp, 3, axis=-1)
+    ref = tu_mod.crop(ramp, np.asarray([50.0, 60.0]), 0.35, res, rot=0)
+    got = crop_image(ramp, np.asarray([50.0, 60.0]), 0.35, res, rot_deg=0)
+    assert abs(float(ref[0, 0, 0]) - float(got[0, 0, 0])) < 0.1
+    assert abs(float(ref[-1, -1, 0]) - float(got[-1, -1, 0])) < 0.1
