@@ -227,11 +227,24 @@ def main(
         )
         return forward(regressor.params, images)
 
+    def iter_chunks(size):
+        """Stream at most ``size`` decoded samples at a time — holding
+        every full-resolution image of a large folder in memory at once
+        would OOM before the first output."""
+        chunk = []
+        for i in range(len(dataset)):
+            s = dataset[i]
+            if s is None:
+                continue
+            chunk.append(s)
+            if len(chunk) == size:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
     total_time, cnt = 0.0, 0
-    all_samples = [dataset[i] for i in range(len(dataset))]
-    all_samples = [s for s in all_samples if s is not None]
-    for lo in range(0, len(all_samples), max(batch_size, 1)):
-        chunk = all_samples[lo:lo + max(batch_size, 1)]
+    for chunk in iter_chunks(max(batch_size, 1)):
 
         start = time.perf_counter()
         out = run_batch(chunk)

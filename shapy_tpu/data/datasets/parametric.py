@@ -96,6 +96,28 @@ class ParametricFitsDataset:
             else 0
         )
 
+        # SPIN-family archives come in two keypoint layouts: the bare
+        # 24-name GT block ('spin') or the 49-row training layout
+        # (25 OpenPose body rows + the 24 GT rows, 'spin49'). Resolve by
+        # the actual row count — assuming 24 when the archive stores 49
+        # would relabel OpenPose rows as GT joints silently.
+        kp = self.data.get("keypoints2d")
+        if kp is not None and self.keypoint_format in ("spin", "spin49"):
+            from shapy_tpu.data.keypoints import KEYPOINT_NAMES_DICT
+
+            rows = kp.shape[-2]
+            for candidate in ("spin", "spin49"):
+                if rows == len(KEYPOINT_NAMES_DICT[candidate]):
+                    self.keypoint_format = candidate
+                    break
+            else:
+                raise ValueError(
+                    f"{dataset_name or 'spin'} archive stores {rows} "
+                    "keypoint rows; expected "
+                    f"{len(KEYPOINT_NAMES_DICT['spin'])} ('spin') or "
+                    f"{len(KEYPOINT_NAMES_DICT['spin49'])} ('spin49')"
+                )
+
     def __len__(self) -> int:
         return self.num_items
 

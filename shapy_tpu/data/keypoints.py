@@ -584,3 +584,40 @@ def map_keypoints(
         out_conf = np.zeros(conf.shape[:-1] + (n_dst,), dtype=conf.dtype)
         out_conf[..., dst_idx] = conf[..., src_idx]
     return out, out_conf
+
+
+def pose_flip_permutation(num_joints: int) -> np.ndarray:
+    """Left<->right joint permutation for SMPL-family AXIS-ANGLE poses.
+
+    Mirroring a body pose = permute each joint's rotation to its
+    bilateral partner and negate the y/z axis-angle components (the
+    standard SMPL flip; reference datasets flip poses through their
+    structure objects). Accepts the three model joint counts (and 22 =
+    SMPL-X body-only slice).
+    """
+    base = {24: "smpl", 52: "smplh", 55: "smplx", 22: "smplx"}
+    if num_joints not in base:
+        raise ValueError(
+            f"no pose flip table for {num_joints} joints "
+            "(expected 22/24/52/55)")
+    names = list(KEYPOINT_NAMES_DICT[base[num_joints]][:num_joints])
+
+    def swap(n: str) -> str:
+        if n.startswith("left_"):
+            return "right_" + n[5:]
+        if n.startswith("right_"):
+            return "left_" + n[6:]
+        return n
+
+    return np.asarray([names.index(swap(n)) for n in names])
+
+
+def flip_pose_aa(pose: np.ndarray) -> np.ndarray:
+    """Mirror a (J, 3) / (J*3,) axis-angle pose left<->right."""
+    flat = np.asarray(pose, np.float32)
+    shape = flat.shape
+    aa = flat.reshape(-1, 3)
+    perm = pose_flip_permutation(aa.shape[0])
+    aa = aa[perm].copy()
+    aa[:, 1:] *= -1.0
+    return aa.reshape(shape)

@@ -178,7 +178,18 @@ class ShardedSampler:
 
     def __iter__(self):
         for idxs in self.sampler:
-            yield np.asarray(idxs)[self.shard_id::self.num_shards]
+            idxs = np.asarray(idxs)
+            if len(idxs) % self.num_shards != 0:
+                # Unequal local batches would give the processes
+                # inconsistent array shapes and hang/fail the collective
+                # in make_array_from_process_local_data — fail loudly at
+                # the source instead.
+                raise ValueError(
+                    f"global batch size {len(idxs)} is not divisible by "
+                    f"num_shards={self.num_shards}; every process must "
+                    "get an equal local batch"
+                )
+            yield idxs[self.shard_id::self.num_shards]
 
 
 def shard_sampler_by_process(sampler):

@@ -25,7 +25,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from shapy_tpu.data import crop as crop_utils
-from shapy_tpu.data.keypoints import flip_permutation
+from shapy_tpu.data.keypoints import flip_permutation, flip_pose_aa
 
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
@@ -144,8 +144,14 @@ class RandomHorizontalFlip:
     def __init__(self, prob: float = 0.0, fmt: str = "openpose25_v1",
                  vertex_flipper: Optional["VertexFlipper"] = None):
         self.prob = prob
-        self.perm = flip_permutation(fmt) if prob > 0 else None
+        self.fmt = fmt
+        self._perms: Dict[str, np.ndarray] = {}
         self.vertex_flipper = vertex_flipper
+
+    def _perm(self, fmt: str) -> np.ndarray:
+        if fmt not in self._perms:
+            self._perms[fmt] = flip_permutation(fmt)
+        return self._perms[fmt]
 
     def __call__(self, sample: Sample, rng) -> Sample:
         if self.prob <= 0 or rng.uniform() > self.prob:
@@ -153,9 +159,13 @@ class RandomHorizontalFlip:
         img = sample["image"]
         W = img.shape[1]
         sample["image"] = np.ascontiguousarray(img[:, ::-1])
+        # Parametric datasets carry their own native ordering per
+        # sample; the pipeline-level fmt is the fallback (the reference
+        # builds flip_indices per dataset, e.g. ssp3d.py:132).
+        fmt = str(sample.get("keypoint_format", self.fmt))
         kp = sample.get("keypoints2d")
         if kp is not None:
-            kp = np.array(kp, copy=True)[self.perm]
+            kp = np.array(kp, copy=True)[self._perm(fmt)]
             kp[:, 0] = W - 1 - kp[:, 0]
             sample["keypoints2d"] = kp
         c = np.asarray(sample["center"], dtype=np.float64).copy()
@@ -165,6 +175,15 @@ class RandomHorizontalFlip:
             for key in self.VERTEX_KEYS:
                 if key in sample:
                     sample[key] = self.vertex_flipper(sample[key])
+        # Every GT modality must mirror together or the losses pull in
+        # opposite directions on flipped samples:
+        j3d = sample.get("joints3d")
+        if j3d is not None:
+            j3d = np.array(j3d, copy=True)[self._perm(fmt)]
+            j3d[..., 0] *= -1.0
+            sample["joints3d"] = j3d
+        if sample.get("gt_pose_aa") is not None:
+            sample["gt_pose_aa"] = flip_pose_aa(sample["gt_pose_aa"])
         sample["is_flipped"] = True
         return sample
 
@@ -370,6 +389,21 @@ class Normalize:
         return sample
 
 
+def _build_vertex_flipper(cfg, aug):
+    """Configured + flipping active -> the file MUST exist (reference
+    ssp3d.py:85-92 asserts): silently skipping it would mirror images
+    and keypoints while leaving GT meshes unmirrored — corrupted
+    supervision with no error."""
+    path = cfg.get("vertex_flip_correspondences")
+    if not (aug and path and float(cfg.get("flip_prob", 0.0)) > 0):
+        return None
+    full = os.path.expandvars(os.path.expanduser(path))
+    if not os.path.exists(full):
+        raise FileNotFoundError(
+            f"vertex_flip_correspondences does not exist: {full}")
+    return VertexFlipper.from_npz(full)
+
+
 def build_transforms(
     transf_cfg: Optional[Dict] = None,
     is_train: bool = False,
@@ -395,15 +429,7 @@ def build_transforms(
             ),
             RandomHorizontalFlip(
                 cfg.get("flip_prob", 0.0) if aug else 0.0, fmt,
-                vertex_flipper=(
-                    VertexFlipper.from_npz(
-                        cfg["vertex_flip_correspondences"])
-                    if aug and cfg.get("vertex_flip_correspondences")
-                    and os.path.exists(os.path.expandvars(
-                        os.path.expanduser(
-                            cfg["vertex_flip_correspondences"])))
-                    else None
-                ),
+                vertex_flipper=_build_vertex_flipper(cfg, aug),
             ),
             RandomRotation(aug, cfg.get("rotation_factor", 0.0)),
             ExtremeBodyCrop(

@@ -38,8 +38,10 @@ class LSGANLoss:
         return jnp.mean(jnp.sum((scores - 1.0) ** 2, axis=1)) * self.weight
 
     def discriminator_loss(
-        self, disc_params, fake: Array, real: Array
+        self, disc_params, fake: Array, real: Array,
+        rng: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
+        # rng accepted (unused) so LSGAN and WGAN-GP share a call shape.
         # One discriminator call on the concatenated batch, like the
         # reference (shared BN-free graph; also halves dispatches).
         scores = self.disc_apply(
@@ -94,7 +96,12 @@ class WassersteinGANGP:
         loss_real = jnp.mean(real_scores)
         loss = loss_fake - loss_real
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            # Training MUST thread a fresh rng per step (the reference
+            # draws tau.uniform_() each call, losses.py:322-331); a
+            # fixed key would pin the Lipschitz penalty to one
+            # interpolation point per sample slot for the whole run.
+            raise ValueError(
+                "WassersteinGANGP.discriminator_loss requires rng")
         gp = self._gradient_penalty(disc_params, fake, real, rng)
         return loss + self.gp_weight * gp, {
             "wasserstein_distance": loss_real - loss_fake,

@@ -72,13 +72,16 @@ def _spectral_sigma(w2d: Array, u: Array) -> tuple:
 
     Matches torch.nn.utils.spectral_norm semantics (weight / sigma with a
     persistent left-singular estimate ``u`` updated each forward)."""
+    # torch detaches BOTH power-iteration vectors ("do not backprop
+    # through the power iteration"): sigma = u^T W v with u, v constant,
+    # so d(sigma)/dW = u v^T only.
     v = w2d.T @ u
-    v = v / (jnp.linalg.norm(v) + 1e-12)
+    v = jax.lax.stop_gradient(v / (jnp.linalg.norm(v) + 1e-12))
     u_new = w2d @ v
     u_norm = jnp.linalg.norm(u_new) + 1e-12
-    u_new = u_new / u_norm
+    u_new = jax.lax.stop_gradient(u_new / u_norm)
     sigma = u_new @ (w2d @ v)
-    return sigma, jax.lax.stop_gradient(u_new)
+    return sigma, u_new
 
 
 class HMRDiscriminator:

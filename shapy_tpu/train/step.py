@@ -57,7 +57,10 @@ def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransform
     weight_decay_bias instead of weight_decay)."""
     cfg = dict(optim_cfg or {})
     lr = float(cfg.get("lr", 1e-4))
-    weight_decay = float(cfg.get("weight_decay", 0.0))
+    # None = unset (lets adamw fall back to the torch AdamW default);
+    # an explicit 0.0 stays 0.0.
+    weight_decay_cfg = cfg.get("weight_decay", None)
+    weight_decay = float(weight_decay_cfg or 0.0)
     weight_decay_bias = float(cfg.get("weight_decay_bias", 0.0))
     bias_lr_factor = float(cfg.get("bias_lr_factor", 1.0))
     sched_cfg = dict(cfg.get("scheduler") or {})
@@ -83,50 +86,62 @@ def build_optimizer(optim_cfg: Optional[Dict] = None) -> optax.GradientTransform
         schedule = lr
 
     opt_type = cfg.get("type", "adam")
+    decoupled = opt_type == "adamw"
     if opt_type in ("adam", "adamw"):
         adam_cfg = dict(cfg.get("adam") or {})
         betas = adam_cfg.get("betas", (0.9, 0.999))
         eps = float(adam_cfg.get("eps", 1e-8))
-        tx = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
-        if opt_type == "adamw" and weight_decay == 0.0:
+        core = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+        if decoupled and weight_decay_cfg is None:
+            # the reference forwards optim_cfg.adam to torch AdamW,
+            # whose default decay is 1e-2 when unspecified
             weight_decay = float(adam_cfg.get("weight_decay", 1e-2))
     elif opt_type == "sgd":
         sgd_cfg = dict(cfg.get("sgd") or {})
-        tx = optax.sgd(
-            schedule, momentum=float(sgd_cfg.get("momentum", 0.9)),
+        core = optax.trace(
+            decay=float(sgd_cfg.get("momentum", 0.9)),
             nesterov=bool(sgd_cfg.get("nesterov", False)),
         )
     elif opt_type == "rmsprop":
         rms_cfg = dict(cfg.get("rmsprop") or {})
-        tx = optax.rmsprop(
-            schedule,
+        # eps OUTSIDE the sqrt, matching torch.optim.RMSprop
+        # (optax's default is inside).
+        core = optax.scale_by_rms(
             decay=float(rms_cfg.get("alpha", 0.99)),
             eps=float(rms_cfg.get("eps", 1e-8)),
-            momentum=float(rms_cfg.get("momentum", 0.0)),
+            eps_in_sqrt=False,
         )
+        momentum = float(rms_cfg.get("momentum", 0.0))
+        if momentum > 0:
+            core = optax.chain(core, optax.trace(decay=momentum))
     else:
         raise ValueError(f"Unknown optimizer type: {opt_type}")
 
-    chain = []
-    # Decoupled decay BEFORE the optimizer update, per param group (the
-    # reference passes weight_decay to the torch optimizers per group).
+    # Per-group decay, placed to match torch semantics: COUPLED (L2 on
+    # the gradient, before the optimizer core) for adam/sgd/rmsprop;
+    # DECOUPLED (subtracted from the update after the core, AdamW-style)
+    # for adamw. The reference passes weight_decay to the torch
+    # optimizers per group, which have exactly these semantics.
+    decays = []
     if weight_decay > 0:
-        chain.append(
+        decays.append(
             optax.masked(optax.add_decayed_weights(weight_decay),
                          _not_bias_mask)
         )
     if weight_decay_bias > 0:
-        chain.append(
+        decays.append(
             optax.masked(optax.add_decayed_weights(weight_decay_bias),
                          _bias_mask)
         )
-    chain.append(tx)
+
+    chain = ([core] + decays) if decoupled else (decays + [core])
+    chain.append(optax.scale_by_learning_rate(schedule))
     # lr * bias_lr_factor for bias params == scaling their update.
     if bias_lr_factor != 1.0:
         chain.append(
             optax.masked(optax.scale(bias_lr_factor), _bias_mask)
         )
-    return optax.chain(*chain) if len(chain) > 1 else tx
+    return optax.chain(*chain)
 
 
 def is_batch_stat(path_str: str) -> bool:
@@ -248,10 +263,9 @@ def make_adversarial_train_step(
     (state, disc_state, metrics)``; jit/shard like make_train_step.
     """
 
-    def disc_logits(dparams, x):
-        return disc.apply(dparams, x)[0]
-
     def step(state: TrainState, disc_state: TrainState, images, batch, rng):
+        rng, gp_rng = jax.random.split(rng)
+
         # -- generator update ------------------------------------------
         def gen_compute(params):
             out, stat_updates = forward_with_stats(
@@ -291,9 +305,10 @@ def make_adversarial_train_step(
         real = batch["real_body_pose"]
 
         def disc_compute(dparams):
-            return adv_loss.discriminator_loss(dparams, fake, real)
+            return adv_loss.discriminator_loss(
+                dparams, fake, real, rng=gp_rng)
 
-        d_grads, d_aux = jax.grad(
+        (d_loss, d_aux), d_grads = jax.value_and_grad(
             disc_compute, has_aux=True
         )(disc_state.params)
         # power-iteration u estimates are buffers, not parameters
@@ -317,7 +332,6 @@ def make_adversarial_train_step(
             for layer, sub in d_params.items()
         }
 
-        d_loss, _ = disc_compute(disc_state.params)
         metrics = dict(loss_dict, adv_disc=d_loss)
         for k, v in d_aux.items():
             if jnp.ndim(v) == 0:

@@ -221,13 +221,15 @@ def test_adversarial_losses(rng):
                  "wgan_gp": {"gp_weight": 10.0, "gamma": 1.0}}):
         adv = build_adv_loss(disc_apply, cfg)
         g_loss = adv.generator_loss(disc.params, fake)
-        d_loss, aux = adv.discriminator_loss(disc.params, fake, real)
+        d_loss, aux = adv.discriminator_loss(
+            disc.params, fake, real, rng=jax.random.PRNGKey(1))
         assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
         # Both directions are differentiable
         g_grad = jax.grad(
             lambda f: adv.generator_loss(disc.params, f))(fake)
         d_grad = jax.grad(
-            lambda p: adv.discriminator_loss(p, fake, real)[0]
+            lambda p: adv.discriminator_loss(
+                p, fake, real, rng=jax.random.PRNGKey(2))[0]
         )(disc.params)
         assert np.isfinite(np.asarray(g_grad)).all()
         assert all(

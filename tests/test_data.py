@@ -243,3 +243,49 @@ def test_horizontal_flip_flips_gt_vertices(rng):
     # between symmetric partners, positions preserved).
     np.testing.assert_allclose(out["gt_vertices"], v.astype(np.float32),
                                atol=1e-6)
+
+
+def test_flip_pose_and_joints3d_consistency():
+    from shapy_tpu.data.keypoints import (
+        flip_pose_aa,
+        pose_flip_permutation,
+    )
+    from shapy_tpu.data.transforms import RandomHorizontalFlip
+
+    rng = np.random.default_rng(9)
+    # involution: flipping twice restores the pose exactly
+    for j in (22, 24, 55):
+        pose = rng.normal(size=(j, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            flip_pose_aa(flip_pose_aa(pose)), pose, atol=1e-7)
+    # pelvis (no partner) keeps its x component, mirrors y/z
+    pose = rng.normal(size=(24, 3)).astype(np.float32)
+    f = flip_pose_aa(pose)
+    perm = pose_flip_permutation(24)
+    assert perm[0] == 0
+    np.testing.assert_allclose(f[0, 0], pose[0, 0])
+    np.testing.assert_allclose(f[0, 1:], -pose[0, 1:])
+
+    # joints3d + pose + keypoints2d all flip together in the transform
+    from shapy_tpu.data.keypoints import KEYPOINT_NAMES_DICT
+
+    tf = RandomHorizontalFlip(prob=1.0, fmt="openpose25_v1")
+    n = len(KEYPOINT_NAMES_DICT["openpose25_v1"])
+    sample = {
+        "image": np.zeros((8, 8, 3), np.float32),
+        "center": np.array([4.0, 4.0]),
+        "keypoints2d": rng.normal(size=(n, 3)).astype(np.float32),
+        "joints3d": rng.normal(size=(n, 4)).astype(np.float32),
+        "gt_pose_aa": rng.normal(size=(55, 3)).astype(np.float32),
+    }
+    before_j3d = sample["joints3d"].copy()
+    out = tf(dict(sample), np.random.default_rng(0))
+    # x negated, rows permuted by the same format table as keypoints2d
+    from shapy_tpu.data.keypoints import flip_permutation
+
+    perm2d = flip_permutation("openpose25_v1")
+    np.testing.assert_allclose(
+        out["joints3d"][:, 0], -before_j3d[perm2d, 0], atol=1e-7)
+    np.testing.assert_allclose(
+        out["joints3d"][:, 1:], before_j3d[perm2d, 1:], atol=1e-7)
+    assert not np.allclose(out["gt_pose_aa"], sample["gt_pose_aa"])

@@ -291,3 +291,59 @@ def test_adversarial_train_step(tiny_regressor):
     assert int(state.step) == 3 and int(disc_state.step) == 3
     u1 = np.asarray(disc_state.params["linear1"]["u"])
     assert not np.allclose(u0, u1)
+
+
+def test_optimizer_semantics_match_torch():
+    """One-step update equality vs the torch optimizers the reference
+    builds (optimizers/build.py:48-61): AdamW decoupled decay, RMSprop
+    eps-outside-sqrt, SGD coupled L2."""
+    import torch
+
+    from shapy_tpu.train.step import build_optimizer
+
+    rng = np.random.default_rng(11)
+    w0 = rng.normal(size=(6, 5)).astype(np.float32)
+    g0 = rng.normal(size=(6, 5)).astype(np.float32)
+
+    def torch_step(opt_cls, **kw):
+        p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = opt_cls([p], **kw)
+        p.grad = torch.from_numpy(g0.copy())
+        opt.step()
+        return p.detach().numpy()
+
+    def ours_step(cfg):
+        tx = build_optimizer(cfg)
+        params = {"layer.weight": jnp.asarray(w0)}
+        grads = {"layer.weight": jnp.asarray(g0)}
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        import optax
+
+        return np.asarray(
+            optax.apply_updates(params, updates)["layer.weight"])
+
+    lr = 1e-2
+    # AdamW decoupled decay
+    want = torch_step(torch.optim.AdamW, lr=lr, weight_decay=0.1)
+    got = ours_step({"type": "adamw", "lr": lr, "weight_decay": 0.1})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    # adamw with EXPLICIT zero decay == plain adam
+    want = torch_step(torch.optim.AdamW, lr=lr, weight_decay=0.0)
+    got = ours_step({"type": "adamw", "lr": lr, "weight_decay": 0.0})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    # RMSprop eps placement
+    want = torch_step(torch.optim.RMSprop, lr=lr, alpha=0.99, eps=1e-8)
+    got = ours_step({"type": "rmsprop", "lr": lr,
+                     "rmsprop": {"alpha": 0.99, "eps": 1e-8}})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    # SGD coupled L2 + momentum
+    want = torch_step(torch.optim.SGD, lr=lr, momentum=0.9,
+                      weight_decay=0.05)
+    got = ours_step({"type": "sgd", "lr": lr,
+                     "sgd": {"momentum": 0.9}, "weight_decay": 0.05})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    # Adam coupled L2
+    want = torch_step(torch.optim.Adam, lr=lr, weight_decay=0.05)
+    got = ours_step({"type": "adam", "lr": lr, "weight_decay": 0.05})
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
