@@ -79,6 +79,12 @@ def main(exp_cfg: Dict, output_folder: str = "evaluation",
             targets = {}
             if "gt_v_shaped" in batch:
                 targets["gt_v_shaped"] = jnp.asarray(batch["gt_v_shaped"])
+            # Posed-GT metrics (3DPW v2v, SPIN/EHF mpjpe): the collate
+            # emits these under the model's keypoint order.
+            if "gt_vertices" in batch:
+                targets["gt_vertices"] = jnp.asarray(batch["gt_vertices"])
+            if "joints3d" in batch:
+                targets["gt_joints3d"] = jnp.asarray(batch["joints3d"])
             for key in ("height", "chest", "waist", "hips", "mass"):
                 gt_key = f"{key}_gt"
                 if gt_key in batch:

@@ -74,6 +74,23 @@ MEASUREMENT_TARGETS = ("height", "chest", "waist", "hips", "weight",
                        "mass")
 
 
+def _aa_to_rotmat_np(aa: np.ndarray) -> np.ndarray:
+    """(J, 3) axis-angle -> (J, 3, 3) rotation matrices (host-side
+    Rodrigues, for GT pose collation)."""
+    aa = np.asarray(aa, np.float64)
+    angle = np.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / np.maximum(angle, 1e-12)
+    x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+    zeros = np.zeros_like(x)
+    K = np.stack(
+        [zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=-1
+    ).reshape(-1, 3, 3)
+    a = angle[..., None]
+    eye = np.eye(3)[None]
+    rot = eye + np.sin(a) * K + (1.0 - np.cos(a)) * (K @ K)
+    return rot.astype(np.float32)
+
+
 def collate_batch(
     samples: Sequence[Optional[Dict]],
     target_keypoint_names: Optional[Sequence[str]] = None,
@@ -112,20 +129,87 @@ def collate_batch(
                 [np.float32(s[key]) for s in samples]
             )
 
-    if target_keypoint_names is not None and "target_keypoints2d" in \
-            samples[0]:
+    # Per-format mapping cache: the mapping depends only on the source
+    # format name + target list, not on the sample.
+    _map_cache: Dict[str, Any] = {}
+
+    def fmt_mapping(fmt: str):
+        if fmt not in _map_cache:
+            _map_cache[fmt] = mapping_between(
+                KEYPOINT_NAMES_DICT[fmt], tuple(target_keypoint_names)
+            )
+        return _map_cache[fmt]
+
+    # Gate every optional target on any() — samples[0]-gating either
+    # drops GT for the whole batch (first sample lacks it) or crashes
+    # (first sample has it, a later one doesn't). Missing samples get
+    # zeros, masked by confidence/validity.
+    if target_keypoint_names is not None and any(
+            "target_keypoints2d" in s for s in samples):
         n_t = len(target_keypoint_names)
         stacked = np.zeros((B, n_t, 3), np.float32)
         for i, s in enumerate(samples):
-            src_names = KEYPOINT_NAMES_DICT[s["keypoint_format"]]
-            src_idx, dst_idx = mapping_between(
-                src_names, tuple(target_keypoint_names)
-            )
+            if "target_keypoints2d" not in s:
+                continue
+            src_idx, dst_idx = fmt_mapping(s["keypoint_format"])
             kp = np.asarray(s["target_keypoints2d"], np.float32)
             stacked[i, dst_idx] = kp[src_idx]
         out["target_keypoints2d"] = stacked
 
-    if "gt_betas" in samples[0]:
+    # 3D joints, remapped by name into the model's keypoint order (the
+    # joints3d loss and mpjpe compare positionally against the model's
+    # joint output). Rows carry (x, y, z, conf); missing samples stay
+    # all-zero-confidence.
+    if target_keypoint_names is not None and any(
+            "joints3d" in s for s in samples):
+        n_t = len(target_keypoint_names)
+        stacked = np.zeros((B, n_t, 4), np.float32)
+        for i, s in enumerate(samples):
+            j3d = s.get("joints3d")
+            if j3d is None:
+                continue
+            j3d = np.asarray(j3d, np.float32)
+            fmt = str(s.get("joints3d_format", s["keypoint_format"]))
+            names = KEYPOINT_NAMES_DICT.get(fmt)
+            if names is None or len(names) != j3d.shape[0]:
+                # Fall back to the GT-block table when the 2D format is
+                # the 49-row training layout but joints3d is the bare
+                # GT block (SPIN archives).
+                for cand in ("spin", "h36m"):
+                    if len(KEYPOINT_NAMES_DICT[cand]) == j3d.shape[0]:
+                        fmt = cand
+                        break
+                else:
+                    continue
+            src_idx, dst_idx = fmt_mapping(fmt)
+            if j3d.shape[-1] == 3:
+                j3d = np.concatenate(
+                    [j3d, np.ones((len(j3d), 1), np.float32)], axis=-1)
+            stacked[i, dst_idx] = j3d[src_idx]
+        out["joints3d"] = stacked
+
+    # Axis-angle GT poses -> rotation-matrix targets for the pose
+    # losses (gt_global_rot (B,3,3), gt_body_pose (B,21,3,3)).
+    if any(s.get("gt_pose_aa") is not None for s in samples):
+        glob = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        body = np.tile(np.eye(3, dtype=np.float32), (B, 21, 1, 1))
+        valid = np.zeros((B,), np.float32)
+        for i, s in enumerate(samples):
+            aa = s.get("gt_pose_aa")
+            if aa is None:
+                continue
+            aa = np.asarray(aa, np.float32).reshape(-1, 3)
+            rots = _aa_to_rotmat_np(aa)
+            glob[i] = rots[0]
+            nb = min(21, len(rots) - 1)
+            if nb > 0:
+                body[i, :nb] = rots[1:1 + nb]
+            valid[i] = 1.0
+        out["gt_global_rot"] = glob
+        out["gt_body_pose"] = body
+        out["gt_pose_valid"] = valid
+
+    if any("gt_betas" in s for s in samples):
         betas = np.zeros((B, num_betas), np.float32)
         valid = np.zeros((B,), np.float32)
         for i, s in enumerate(samples):
@@ -136,10 +220,20 @@ def collate_batch(
         out["gt_betas"] = betas
         out["gt_betas_valid"] = valid
 
-    if "gt_v_shaped" in samples[0]:
-        out["gt_v_shaped"] = np.stack(
-            [np.asarray(s["gt_v_shaped"], np.float32) for s in samples]
-        )
+    for vkey in ("gt_v_shaped", "gt_vertices"):
+        if any(vkey in s for s in samples):
+            ref_shape = next(
+                np.asarray(s[vkey], np.float32).shape
+                for s in samples if vkey in s
+            )
+            stacked = np.zeros((B,) + ref_shape, np.float32)
+            valid = np.zeros((B,), np.float32)
+            for i, s in enumerate(samples):
+                if vkey in s and np.asarray(s[vkey]).shape == ref_shape:
+                    stacked[i] = np.asarray(s[vkey], np.float32)
+                    valid[i] = 1.0
+            out[vkey] = stacked
+            out[f"{vkey}_valid"] = valid
 
     for key in MEASUREMENT_TARGETS:
         if any(key in s for s in samples):
@@ -243,6 +337,32 @@ class SequentialBatchSampler:
             yield idxs
 
 
+class ShuffledBatchSampler:
+    """Reshuffled every epoch — the single-dataset train sampler
+    (sequential order + drop_last would give SGD the same correlated
+    batches every epoch)."""
+
+    def __init__(self, length: int, batch_size: int,
+                 drop_last: bool = True, seed: int = 0):
+        self.length = length
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.length // self.batch_size
+        return (self.length + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = self._rng.permutation(self.length)
+        for start in range(0, self.length, self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                return
+            yield idxs
+
+
 def build_dataset(name: str, dataset_cfg: Dict, split: str, transforms):
     if not DATASET_REGISTRY:
         _populate_registry()
@@ -322,9 +442,13 @@ def build_all_data_loaders(
                 importance_key=sampler_cfg.get("importance_key", "weight"),
                 shuffle=True,
             )
+        elif is_train:
+            sampler = ShuffledBatchSampler(
+                total, part_batch[part], drop_last=True
+            )
         else:
             sampler = SequentialBatchSampler(
-                total, part_batch[part], drop_last=is_train
+                total, part_batch[part], drop_last=False
             )
         if bool(ds_cfg.get("shard_by_process", True)):
             # Multi-host: each process keeps its strided slice of every

@@ -218,5 +218,8 @@ class HBWDataset:
                 {f"{k}_gt": v for k, v in self.gt_measurements[sid].items()}
             )
         if self.transforms is not None:
-            sample = self.transforms(sample, np.random.default_rng(index))
+            from shapy_tpu.data.rng import augment_rng
+
+            sample = self.transforms(
+                sample, augment_rng(index, "train" in self.split))
         return sample

@@ -157,8 +157,8 @@ class ModelAgencyDataset:
         if item.get("betas") is not None:
             sample["gt_betas"] = np.asarray(item["betas"], np.float32)
         if self.transforms is not None:
-            rng = np.random.default_rng(
-                index if self.is_train else 0
-            )
-            sample = self.transforms(sample, rng)
+            from shapy_tpu.data.rng import augment_rng
+
+            sample = self.transforms(
+                sample, augment_rng(index, self.is_train))
         return sample

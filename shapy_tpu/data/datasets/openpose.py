@@ -115,6 +115,8 @@ class OpenPoseDataset:
             "index": index,
         }
         if self.transforms is not None:
-            rng = np.random.default_rng(index if self.is_train else 0)
+            from shapy_tpu.data.rng import augment_rng
+
+            rng = augment_rng(index, self.is_train)
             sample = self.transforms(sample, rng)
         return sample

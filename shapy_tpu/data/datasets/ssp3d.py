@@ -125,5 +125,8 @@ class SSP3DDataset:
         if os.path.exists(silh_path):
             sample["silhouette_path"] = silh_path
         if self.transforms is not None:
-            sample = self.transforms(sample, np.random.default_rng(index))
+            from shapy_tpu.data.rng import augment_rng
+
+            sample = self.transforms(
+                sample, augment_rng(index, "train" in self.split))
         return sample

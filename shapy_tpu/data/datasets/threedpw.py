@@ -92,5 +92,8 @@ class ThreeDPWDataset:
         if self.joints3d is not None:
             sample["joints3d"] = self.joints3d[index]
         if self.transforms is not None:
-            sample = self.transforms(sample, np.random.default_rng(index))
+            from shapy_tpu.data.rng import augment_rng
+
+            sample = self.transforms(
+                sample, augment_rng(index, "train" in self.split))
         return sample

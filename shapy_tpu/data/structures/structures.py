@@ -223,12 +223,16 @@ def _flip_aa_pose(pose: np.ndarray, flip_pairs) -> np.ndarray:
 
 
 class BodyPose(_ParamStructure):
-    # SMPL body joint left/right pairs (indices into the 21/23 joints)
+    # SMPL body joint left/right pairs (indices into the 21/23 joints).
+    # (21, 22) are the SMPL hand stubs — present only in the 23-joint
+    # SMPL body pose; _flip_aa_pose skips pairs beyond the pose length.
     FLIP_PAIRS = [(0, 1), (3, 4), (6, 7), (9, 10), (12, 13), (15, 16),
-                  (17, 18), (19, 20)]
+                  (17, 18), (19, 20), (21, 22)]
 
     def flip(self, *args) -> "BodyPose":
-        return BodyPose(_flip_aa_pose(self.value, self.FLIP_PAIRS))
+        pose = np.asarray(self.value).reshape(-1, 3)
+        pairs = [p for p in self.FLIP_PAIRS if p[1] < len(pose)]
+        return BodyPose(_flip_aa_pose(self.value, pairs))
 
 
 class GlobalRot(_ParamStructure):

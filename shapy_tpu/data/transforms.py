@@ -171,17 +171,41 @@ class RandomHorizontalFlip:
         c = np.asarray(sample["center"], dtype=np.float64).copy()
         c[0] = W - 1 - c[0]
         sample["center"] = c
-        if self.vertex_flipper is not None:
-            for key in self.VERTEX_KEYS:
-                if key in sample:
-                    sample[key] = self.vertex_flipper(sample[key])
+        mesh_keys = [k for k in self.VERTEX_KEYS if k in sample]
+        if mesh_keys:
+            if self.vertex_flipper is None:
+                raise RuntimeError(
+                    "flip augmentation hit a sample carrying GT meshes "
+                    f"({mesh_keys}) but no vertex_flip_correspondences "
+                    "is configured — the mesh would silently stay "
+                    "unmirrored (reference ssp3d.py:85-92 asserts)"
+                )
+            for key in mesh_keys:
+                sample[key] = self.vertex_flipper(sample[key])
         # Every GT modality must mirror together or the losses pull in
         # opposite directions on flipped samples:
         j3d = sample.get("joints3d")
         if j3d is not None:
-            j3d = np.array(j3d, copy=True)[self._perm(fmt)]
-            j3d[..., 0] *= -1.0
-            sample["joints3d"] = j3d
+            j3d = np.array(j3d, copy=True)
+            perm = None
+            for cand in (str(sample.get("joints3d_format", fmt)), fmt,
+                         "spin", "h36m"):
+                try:
+                    p = self._perm(cand)
+                except KeyError:
+                    continue
+                if len(p) == j3d.shape[0]:
+                    perm = p
+                    break
+            if perm is None:
+                # No usable left/right table for this row count: drop
+                # the 3D GT for this flipped sample rather than train
+                # on left/right-mislabelled joints.
+                del sample["joints3d"]
+            else:
+                j3d = j3d[perm]
+                j3d[..., 0] *= -1.0
+                sample["joints3d"] = j3d
         if sample.get("gt_pose_aa") is not None:
             sample["gt_pose_aa"] = flip_pose_aa(sample["gt_pose_aa"])
         sample["is_flipped"] = True
@@ -196,8 +220,9 @@ class RandomRotation:
         if self.factor <= 0:
             return sample
         # Reference convention: rot ~ clamp(N(0, factor), +-2factor),
-        # applied 60% of the time (transforms.py RandomRotation).
-        if rng.uniform() > 0.6:
+        # ZEROED 60% of the time, i.e. applied to 40% of samples
+        # (reference transforms.py:395-400: `if uniform() <= 0.6: rot=0`).
+        if rng.uniform() <= 0.6:
             return sample
         rot = np.clip(
             rng.normal() * self.factor, -2 * self.factor, 2 * self.factor
@@ -448,9 +473,10 @@ def build_transforms(
             ChannelNoise(cfg.get("noise_scale", 0.0) if aug else 0.0),
             SimulateLowRes(
                 cfg.get("downsample_dist", "categorical"),
-                tuple(cfg.get("downsample_cat_factors", (1.0,))),
-                cfg.get("downsample_factor_min", 1.0),
-                cfg.get("downsample_factor_max", 1.0),
+                tuple(cfg.get("downsample_cat_factors", (1.0,)))
+                if aug else (1.0,),
+                cfg.get("downsample_factor_min", 1.0) if aug else 1.0,
+                cfg.get("downsample_factor_max", 1.0) if aug else 1.0,
             ),
             Normalize(
                 cfg.get("mean", IMAGENET_MEAN), cfg.get("std", IMAGENET_STD)

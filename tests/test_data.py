@@ -289,3 +289,50 @@ def test_flip_pose_and_joints3d_consistency():
     np.testing.assert_allclose(
         out["joints3d"][:, 1:], before_j3d[perm2d, 1:], atol=1e-7)
     assert not np.allclose(out["gt_pose_aa"], sample["gt_pose_aa"])
+
+
+def test_collate_mixed_batches_and_3d_targets():
+    """collate_batch with heterogeneous samples: no key may be dropped
+    because the FIRST sample lacks it, none may crash because a LATER
+    one does; 3D joints remap by name and axis-angle poses become
+    rotation-matrix targets."""
+    from shapy_tpu.data.build import collate_batch
+    from shapy_tpu.data.keypoints import KEYPOINT_NAMES_DICT
+
+    rng = np.random.default_rng(5)
+    target_names = tuple(KEYPOINT_NAMES_DICT["spin"])  # 24 GT names
+    img = np.zeros((8, 8, 3), np.float32)
+
+    with_gt = {
+        "cropped_image": img,
+        "keypoint_format": "spin",
+        "gt_betas": rng.normal(size=10).astype(np.float32),
+        "gt_vertices": rng.normal(size=(12, 3)).astype(np.float32),
+        "joints3d": rng.normal(size=(24, 4)).astype(np.float32),
+        "gt_pose_aa": rng.normal(size=(24, 3)).astype(np.float32) * 0.3,
+    }
+    without = {"cropped_image": img, "keypoint_format": "spin"}
+
+    # GT only in the SECOND sample: keys must still be collated
+    out = collate_batch([without, with_gt],
+                        target_keypoint_names=target_names)
+    assert out["gt_betas_valid"].tolist() == [0.0, 1.0]
+    assert out["gt_vertices_valid"].tolist() == [0.0, 1.0]
+    assert out["gt_pose_valid"].tolist() == [0.0, 1.0]
+    assert out["joints3d"].shape == (2, len(target_names), 4)
+    # sample 0 contributes zero confidence everywhere
+    np.testing.assert_allclose(out["joints3d"][0, :, 3], 0.0)
+    # sample 1's joints3d arrive under the right names (identity map)
+    np.testing.assert_allclose(out["joints3d"][1], with_gt["joints3d"])
+
+    # rotation targets are valid rotation matrices
+    R = out["gt_body_pose"][1]
+    np.testing.assert_allclose(
+        R @ np.transpose(R, (0, 2, 1)),
+        np.tile(np.eye(3, dtype=np.float32), (21, 1, 1)),
+        atol=1e-5,
+    )
+    # GT only in the FIRST sample: must not crash on the second
+    out = collate_batch([with_gt, without],
+                        target_keypoint_names=target_names)
+    assert out["gt_betas_valid"].tolist() == [1.0, 0.0]
