@@ -173,16 +173,53 @@ def main(
         is_train=False,
         return_full_imgs=True,
     )
-    dataset = OpenPoseDataset(
-        data_folder=data_folder,
-        img_folder=op_cfg.get("img_folder", "images"),
-        keyp_folder=op_cfg.get("keyp_folder", "keypoints"),
-        transforms=transforms,
-        split=split,
-    )
-    if len(dataset) == 0:
+    # Build every requested dataset (reference demo.py --datasets): the
+    # default 'openpose' reads the demo image/keypoint folders; any
+    # other registry dataset pulls its config from the pose/shape
+    # sections.
+    built = []
+    for name in datasets:
+        if name == "openpose":
+            ds = OpenPoseDataset(
+                data_folder=data_folder,
+                img_folder=op_cfg.get("img_folder", "images"),
+                keyp_folder=op_cfg.get("keyp_folder", "keypoints"),
+                transforms=transforms,
+                split=split,
+            )
+        else:
+            from shapy_tpu.data.build import build_dataset
+
+            section = None
+            for part in ("pose", "shape"):
+                part_cfg = dict(ds_cfg.get(part) or {})
+                if name in part_cfg:
+                    section = part_cfg
+                    break
+            ds = build_dataset(name, section or {name: {}}, split,
+                               transforms)
+        if len(ds) > 0:
+            built.append(ds)
+    if not built:
         print("No inputs found", file=sys.stderr)
         return 1
+
+    class _Concat:
+        def __init__(self, parts):
+            self.parts = parts
+            self.lens = [len(p) for p in parts]
+
+        def __len__(self):
+            return sum(self.lens)
+
+        def __getitem__(self, i):
+            for p, n in zip(self.parts, self.lens):
+                if i < n:
+                    return p[i]
+                i -= n
+            raise IndexError(i)
+
+    dataset = built[0] if len(built) == 1 else _Concat(built)
 
     checkpoint = os.path.expandvars(exp_cfg.get("pretrained", "") or "")
     regressor = build_demo_regressor(exp_cfg, checkpoint)

@@ -56,25 +56,30 @@ class B2A:
         out = []
         for split in ("train", "val", "test"):
             d = db[split]
+            # Targets in output_names order: selected attribute columns
+            # followed by selected measurement columns — the network's
+            # declared output width must equal the training target
+            # width, or predict() silently returns fewer columns than
+            # output_names claims.
+            cols = [np.asarray(d["rating"])[:, self.selected_attr_idx]]
+            for m in self.selected_mmts:
+                cols.append(
+                    np.asarray(d[m], np.float32).reshape(-1, 1))
+            y = np.concatenate(cols, axis=1)
+            assert y.shape[1] == self.output_feature_size
             out.append(
-                (
-                    np.asarray(d[beta_key])[:, : self.betas_size],
-                    np.asarray(d["rating"]),
-                )
+                (np.asarray(d[beta_key])[:, : self.betas_size], y)
             )
         return tuple(out)
 
     def fit(self, db: Dict) -> Dict[str, Dict[str, np.ndarray]]:
         """Fit on the train split; report val metrics (b2a.py:80-101)."""
         (xtr, ytr), (xval, yval), (xte, yte) = self._tvt(db)
-        self.b2a.fit(xtr, ytr[:, self.selected_attr_idx]
-                     if ytr.shape[1] != self.output_feature_size else ytr)
+        self.b2a.fit(xtr, ytr)
         report = {}
         for name, (x, y) in (("val", (xval, yval)), ("test", (xte, yte))):
             pred = self.b2a.predict(x)
-            target = (y[:, self.selected_attr_idx]
-                      if y.shape[1] != self.output_feature_size else y)
-            report[name] = self.metrics(target, pred)
+            report[name] = self.metrics(y, pred)
         return report
 
     @staticmethod

@@ -39,12 +39,17 @@ def select_features(cfg: Dict) -> Tuple[List[str], np.ndarray, List[str]]:
         conf = cfg.get(f"{ds_gender}_attributes") or {}
         attributes = [k for k, v in conf.items() if v]
 
+    # Names and indices MUST share one order. Indices are gathered in
+    # canonical ATTRIBUTE_NAMES order, so the name list is re-sorted the
+    # same way — config-dict insertion order would silently mislabel
+    # feature columns.
     idx = np.asarray(
         [i for i, n in enumerate(names) if attr_key(n) in attributes],
         dtype=np.int64,
     )
     if len(idx) != len(attributes):
         raise ValueError("Some selected attributes are not annotated")
+    attributes = [attr_key(names[i]) for i in idx]
 
     mmts: List[str] = []
     if cfg.get("use_measurements", True):

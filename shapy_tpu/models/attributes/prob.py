@@ -36,9 +36,7 @@ class MVNHead(nn.Module):
         tril = jnp.zeros(x.shape[:-1] + (self.out_dim, self.out_dim))
         idx = jnp.tril_indices(self.out_dim, k=-1)
         tril = tril.at[..., idx[0], idx[1]].set(off)
-        tril = tril + jnp.eye(self.out_dim) * diag[..., None, :] \
-            - jnp.eye(self.out_dim) * 0.0
-        tril = jnp.tril(tril, k=-1) + jnp.eye(self.out_dim) * diag[..., None, :]
+        tril = tril + jnp.eye(self.out_dim) * diag[..., None, :]
         return mean, tril
 
 

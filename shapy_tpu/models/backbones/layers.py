@@ -158,10 +158,15 @@ def batch_norm(
     if train:
         reduce_axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=reduce_axes)
-        var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
         if axis_name is not None:
+            # SyncBN: all-reduce the RAW moments (E[x], E[x^2]) like
+            # torch SyncBatchNorm. Averaging per-device variances
+            # instead would understate the global variance by the
+            # cross-device spread of the means.
             mean = jax.lax.pmean(mean, axis_name)
-            var = jax.lax.pmean(var, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+        var = mean_sq - jnp.square(mean)
         n = np.prod([x.shape[a] for a in reduce_axes])
         unbiased = var * (n / max(n - 1, 1))
         store.stat_updates[f"{name}.running_mean"] = (

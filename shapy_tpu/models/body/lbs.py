@@ -66,13 +66,21 @@ def lbs(
 
     if v_shaped is None:
         v_shaped = v_template[None] + blend_shapes(betas, shapedirs)
+    if v_shaped.shape[0] != B:
+        # betas batch 1 with pose batch B (or vice versa): broadcast the
+        # shape-derived tensors so the mixed-batch call the signature
+        # implies actually works.
+        v_shaped = jnp.broadcast_to(v_shaped,
+                                    (B,) + v_shaped.shape[1:])
 
     joints = vertices2joints(J_regressor, v_shaped)
 
     if pose2rot:
-        rot_mats = aa_to_rotmat(pose.reshape(B, -1, 3))
+        rot_mats = aa_to_rotmat(pose.reshape(pose.shape[0], -1, 3))
     else:
-        rot_mats = pose.reshape(B, -1, 3, 3)
+        rot_mats = pose.reshape(pose.shape[0], -1, 3, 3)
+    if rot_mats.shape[0] != B:
+        rot_mats = jnp.broadcast_to(rot_mats, (B,) + rot_mats.shape[1:])
 
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)

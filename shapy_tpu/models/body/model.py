@@ -106,6 +106,11 @@ class SMPL:
         shapedirs = np.asarray(model_data["shapedirs"])
         num_betas_avail = min(self.num_betas, shapedirs.shape[-1],
                               self.SHAPE_SPACE_DIM)
+        # The stored basis defines the usable beta count; keeping the
+        # larger requested value would make default betas (and any
+        # regressor betas space built from num_betas) mismatch the
+        # basis in blend_shapes (reference body_models.py clamps too).
+        self.num_betas = num_betas_avail
         posedirs = np.asarray(model_data["posedirs"])
         # Runtime layout: (P, V*3) so pose offsets are one (B, P) x (P, V*3)
         # matmul (reference model loader, body_models.py:153-156).

@@ -68,11 +68,21 @@ class PerspectiveCamera:
         # (camera_projection.py:161-164).
         p = jnp.einsum("bji,bmi->bmj", rotation, points) \
             + translation[:, None]
-        img = p[..., :2] / p[..., 2:3]
+        # Sign-preserving z clamp: at init the regressed depth passes
+        # near zero; an unguarded divide returns NaNs that poison the
+        # whole loss.
+        z = p[..., 2:3]
+        z = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+        img = p[..., :2] / z
         return focal_length * img + camera_center.reshape(-1, 1, 2)
 
 
 def _softplus_inverse(y: float) -> float:
+    # log(e^y - 1), computed stably: for large y, expm1 overflows while
+    # the true value approaches y + log(1 - e^-y) ~ y (matters for the
+    # persp focal mean, y = 5000).
+    if y > 30.0:
+        return float(y + np.log1p(-np.exp(-y)))
     return float(np.log(np.expm1(y)))
 
 
@@ -99,9 +109,18 @@ def build_cam_proj(camera_cfg: Optional[Dict] = None) -> Dict:
             mean_f = float(np.log(DEFAULT_FOCAL_LENGTH))
         else:
             mean_f = DEFAULT_FOCAL_LENGTH
+        # NOTE: the reference pairs dim=4 with a 3-entry mean
+        # (camera_projection.py:67-69) — internally inconsistent, and
+        # its param_dim is derived from the concatenated means
+        # (iterative_regressor.py:107-108), so 'persp' cannot actually
+        # run there. Here the mean matches the declared dim:
+        # [focal, tx, ty, tz]; mean depth places the body in front of
+        # the camera at the distance the weak-persp mean implies
+        # (z = 2f / (mean_scale * crop) ~ 43 m for f=5000, crop 256).
+        mean_z = 2.0 * DEFAULT_FOCAL_LENGTH / (0.9 * 256.0)
         return {
             "camera": PerspectiveCamera(),
-            "mean": np.asarray([mean_f, 0.0, 0.0], np.float32),
+            "mean": np.asarray([mean_f, 0.0, 0.0, mean_z], np.float32),
             "scale_func": scale_func,
             "dim": 4,
         }

@@ -35,7 +35,10 @@ import numpy as np
 
 from shapy_tpu.models.backbones.hrnet import hrnet_forward, hrnet_init
 from shapy_tpu.models.body.model import build_body_model
-from shapy_tpu.models.cameras.projection import build_cam_proj
+from shapy_tpu.models.cameras.projection import (
+    PerspectiveCamera,
+    build_cam_proj,
+)
 from shapy_tpu.models.heads.mlp import mlp_forward, mlp_init
 from shapy_tpu.models.heads.pose_space import (
     BlendShapeSpace,
@@ -357,9 +360,7 @@ class BodyRegressor:
         # Batch the posed stages through one body-model evaluation
         # (the reference's concat trick, iterative_regressor.py:664-677).
         merged = {}
-        for key in param_dicts[0]:
-            if key.startswith("raw_") or key == "camera":
-                continue
+        for key in self._model_forward_kwargs(param_dicts[0]):
             merged[key] = jnp.concatenate(
                 [param_dicts[i][key] for i in posed], axis=0
             )
@@ -383,20 +384,36 @@ class BodyRegressor:
         last_key = f"stage_{self.num_stages - 1:02d}"
         last = out[last_key]
 
-        # Camera projection (iterative_regressor.py:713-727)
+        # Camera projection (iterative_regressor.py:713-727). The decode
+        # depends on the camera space: weak-persp regresses
+        # [scale, tx, ty]; persp regresses [focal, tx, ty, tz] (both
+        # first components through the positive-scale function).
         cam = param_dicts[-1]["camera"]
-        scale = self.camera_scale_func(cam[:, 0:1])
-        translation = cam[:, 1:3]
-        proj_joints = self.projection(
-            last["joints"], scale=scale, translation=translation
-        )
+        if isinstance(self.projection, PerspectiveCamera):
+            focal = self.camera_scale_func(cam[:, 0])
+            translation = cam[:, 1:4]
+            proj_joints = self.projection(
+                last["joints"], focal_length=focal,
+                translation=translation,
+            )
+            out["camera_parameters"] = {
+                "focal_length": focal,
+                "translation": translation,
+            }
+        else:
+            scale = self.camera_scale_func(cam[:, 0:1])
+            translation = cam[:, 1:3]
+            proj_joints = self.projection(
+                last["joints"], scale=scale, translation=translation
+            )
+            out["camera_parameters"] = {
+                "scale": scale,
+                "translation": translation,
+                "scale_first": getattr(self.projection, "scale_first",
+                                       False),
+            }
         out["proj_joints"] = proj_joints
         last["proj_joints"] = proj_joints
-        out["camera_parameters"] = {
-            "scale": scale,
-            "translation": translation,
-            "scale_first": getattr(self.projection, "scale_first", False),
-        }
 
         # Measurements on the shaped (T-pose) mesh
         # (iterative_regressor.py:742-756).

@@ -138,3 +138,21 @@ def test_hand_pca(smplx_data):
     np.testing.assert_allclose(
         eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5
     )
+
+
+def test_smpl_mixed_batch_broadcast(rng, smpl_data):
+    """betas batch 1 with pose batch 4 broadcasts (the lbs signature's
+    B = max(...) promise)."""
+    model = SMPL(model_data=smpl_data)
+    betas = jnp.zeros((1, 10), jnp.float32)
+    pose = jnp.asarray(
+        rng.normal(size=(4, model.num_joints * 3)).astype(np.float32)
+        * 0.1
+    )
+    out = model(betas=betas, body_pose=pose[:, 3:],
+                global_rot=pose[:, :3])
+    assert out["vertices"].shape[0] == 4
+    assert np.isfinite(np.asarray(out["vertices"])).all()
+    # and the shape term is shared: all items share v_shaped
+    vs = np.asarray(out["v_shaped"])
+    np.testing.assert_allclose(vs[0], vs[-1], atol=1e-6)

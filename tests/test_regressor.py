@@ -173,3 +173,33 @@ def test_apply_from_full_images_matches_host_crop(regressor, rng):
         np.asarray(out_fused["stage_02"]["betas"]),
         atol=1e-3,
     )
+
+
+def test_perspective_camera_regressor(smplx_data_module):
+    """network camera type 'persp' builds and runs end to end (the
+    reference pairs dim=4 with a 3-entry mean — internally inconsistent
+    and unusable there; here the full persp path works)."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.models.heads import SMPLXRegressor
+
+    reg = SMPLXRegressor(
+        body_model_cfg={"smplx": {
+            "global_rot": {"param_type": "cont_rot_repr"},
+            "body_pose": {"param_type": "cont_rot_repr"},
+        }},
+        network_cfg={
+            "num_stages": 2, "predict_hands": False,
+            "predict_face": False,
+            "backbone": {"type": "resnet", "depth": 18},
+            "mlp": {"layers": [32], "dropout": 0.0},
+            "camera": {"type": "persp"},
+        },
+        body_model=SMPLX(model_data=smplx_data_module),
+    )
+    out = reg(jnp.zeros((2, 64, 64, 3)))
+    assert out["proj_joints"].shape[0] == 2
+    assert out["proj_joints"].shape[-1] == 2
+    cam = out["camera_parameters"]
+    assert "focal_length" in cam and cam["translation"].shape == (2, 3)
+    assert np.isfinite(np.asarray(out["proj_joints"])).all()
