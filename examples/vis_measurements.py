@@ -78,8 +78,10 @@ def main() -> int:
               "hips": (40, 60, 220)}
     for name, color in colors.items():
         pts = np.asarray(out[name]["points"][0]).reshape(-1, 3)
-        valid = np.repeat(
-            np.asarray(out[name]["valid_points"][0]).reshape(-1), 2)
+        valid = np.asarray(out[name]["valid_points"][0]).reshape(-1)
+        if valid.shape[0] != pts.shape[0]:
+            # exact slice mode: one validity flag per triangle's 2 points
+            valid = np.repeat(valid, 2)
         pts = pts[valid]
         cam_p = pts * np.array([1.0, -1.0, -1.0]) + np.array([0, 0, 3.0])
         px = (focal * cam_p[:, 0] / cam_p[:, 2] + S / 2).astype(int)

@@ -34,7 +34,12 @@ from shapy_tpu.ops.convex_hull import (
     hull_perimeter_support,
     hull_perimeter_support_xz,
 )
-from shapy_tpu.ops.plane_slice import plane_slice_soa, plane_slice_triangles
+from shapy_tpu.ops.plane_slice import (
+    plane_slice_reference,
+    plane_slice_reference_soa,
+    plane_slice_soa,
+    plane_slice_triangles,
+)
 
 Array = jax.Array
 
@@ -149,6 +154,18 @@ class BodyMeasurements:
         # parity budget, at 2.8x less projection work than the old 720.
         num_hull_directions: int = 256,
         density: float = DENSITY,
+        # "reference" reproduces the CUDA kernel's observable point set
+        # (one first-hit point per plane-quad-triangle/body-triangle pair,
+        # face id 0 dropped — see ops/plane_slice.plane_slice_reference_soa).
+        # This is the default because every number the reference ever
+        # produced (HBW GT measurements, the shipped sample fixtures, the
+        # paper's measurement-error protocol) was computed with those
+        # semantics; on the one real SMPL-X golden mesh it matches the
+        # recorded outputs to <0.01 mm where the mathematically-exact
+        # full-segment slice ("exact") measures the hips 1.76 mm larger
+        # (tests/test_golden_measurements.py).  "exact" keeps the true
+        # all-crossings slice for users who want the unbiased geometry.
+        slice_mode: str = "reference",
     ):
         if anchors is None:
             anchors = MeasurementAnchors.from_yaml(
@@ -156,9 +173,12 @@ class BodyMeasurements:
                 meas_vertices_path,
                 model_type,
             )
+        if slice_mode not in ("reference", "exact"):
+            raise ValueError(f"unknown slice_mode: {slice_mode!r}")
         self.anchors = anchors
         self.num_hull_directions = num_hull_directions
         self.density = density
+        self.slice_mode = slice_mode
 
     # -- individual measurements ------------------------------------------
     def compute_mass(self, triangles: Array) -> Array:
@@ -187,9 +207,16 @@ class BodyMeasurements:
         measured formulation."""
         B = triangles.shape[0]
         plane_h = _anchor_point(triangles, anchor)[..., 1]
-        points3d, valid = plane_slice_triangles(triangles, plane_h, axis=1)
-        flat = points3d.reshape(B, -1, 3)
-        flat_mask = jnp.repeat(valid, 2, axis=-1)
+        if self.slice_mode == "reference":
+            points3d, flat_mask = plane_slice_reference(
+                triangles, plane_h, axis=1
+            )
+            valid = flat_mask
+            flat = points3d.reshape(B, -1, 3)
+        else:
+            points3d, valid = plane_slice_triangles(triangles, plane_h, axis=1)
+            flat = points3d.reshape(B, -1, 3)
+            flat_mask = jnp.repeat(valid, 2, axis=-1)
         pts2d = flat[..., jnp.array([0, 2])]  # (x, z) plane
         value = hull_perimeter_support(
             pts2d, flat_mask, self.num_hull_directions
@@ -265,10 +292,15 @@ class BodyMeasurements:
             "mass": {"tensor": mass},
             "height": {"tensor": height},
         }
+        slice_fn = (
+            plane_slice_reference_soa
+            if self.slice_mode == "reference"
+            else plane_slice_soa
+        )
         for name in ("chest", "waist", "hips"):
             anchor = getattr(self.anchors, name)
             plane_h = anchor_y(anchor)
-            xs, zs, m = plane_slice_soa(ty, tx, tz, plane_h)
+            xs, zs, m = slice_fn(ty, tx, tz, plane_h)
             value = hull_perimeter_support_xz(
                 xs, zs, m, self.num_hull_directions
             )
@@ -312,6 +344,15 @@ class BodyMeasurements:
         anchor: Anchor = getattr(self.anchors, anchor_name)
         tris = jnp.asarray(triangles)
         plane_h = _anchor_point(tris, anchor)[..., 1]
+        if self.slice_mode == "reference":
+            pts, valid = plane_slice_reference(tris, plane_h, axis=1)
+            pts = np.asarray(pts)
+            valid = np.asarray(valid)
+            out = []
+            for b in range(pts.shape[0]):
+                p2 = pts[b][valid[b]][:, [0, 2]]
+                out.append(hull_perimeter_exact_np(p2))
+            return np.asarray(out)
         pts, valid = plane_slice_triangles(tris, plane_h, axis=1)
         pts = np.asarray(pts)
         valid = np.asarray(valid)

@@ -71,6 +71,169 @@ def plane_slice_triangles(
     return points, valid
 
 
+def plane_slice_reference_soa(
+    s_coord: Array,
+    a_coord: Array,
+    b_coord: Array,
+    height: Array,
+) -> Tuple[Array, Array, Array]:
+    """Reference-semantics plane slice (one point per quad-tri/body-tri pair).
+
+    The reference's CUDA kernel does NOT return both segment endpoints of
+    each sliced triangle.  ``find_triangle_triangle_intersection_points``
+    (``mesh-mesh-intersection/src/mesh_mesh_intersect_cuda_op.cu:376-516``)
+    records exactly ONE distinct point per colliding (query-tri, body-tri)
+    pair: it casts the three *query* edges against the body triangle
+    (with an ``|det| < 1e-4`` parallel reject, cuda_op.cu:54-56,213) and
+    then the three *body* edges against the query triangle, keeping the
+    FIRST in-range hit; its "second point" searches can never succeed
+    (degenerate re-test triangles / negative re-hit parameters), so the
+    fallback duplicates point 1.  The wrapper then drops face id 0 along
+    with the -1 padding via ``collision_faces > 0``
+    (``body_measurements.py:161``).  The observable point set is therefore
+    a strict subset of the true slice-segment endpoints, and the convex
+    hull over it is systematically (sub-millimetre) smaller — on the one
+    real SMPL-X golden in the environment the full-segment hull measures
+    the hips 1.76 mm larger than the reference's recorded output, while
+    this formulation matches all three circumferences to <0.001 mm
+    (``tests/test_golden_measurements.py``).
+
+    Vectorised first-hit emulation over the reference's two query
+    triangles covering the [-1, 1]^2 plane quad
+    (``body_measurements.py:86-97``): for each body triangle, 3 quad-edge
+    casts (Moller, full 3D) then 3 in-plane body-edge casts, priority
+    select.  Everything is fixed-shape elementwise math over the face
+    axis — no BVH, no host round-trip, differentiable.
+
+    Args / layout match :func:`plane_slice_soa` (coordinate planes
+    (..., 3, F), vertex index on sublanes, face index on lanes), with the
+    (a, b) axes playing the reference's (x, z) roles — the quad geometry
+    (including the [-1,-1]->[1,1] diagonal) is axis-specific.
+
+    Returns:
+      a_pts, b_pts: (..., 2F) one candidate point per (quad-tri, face)
+        pair (quad tri 0 at [0, F), quad tri 1 at [F, 2F)),
+      mask: (..., 2F) validity (first-hit found; face 0 dropped).
+    """
+    h = jnp.asarray(height)[..., None]  # (..., 1) broadcast over faces
+    dtype = a_coord.dtype
+
+    # Body triangle vertex planes, (..., F) each.
+    ax0, ax1, ax2 = a_coord[..., 0, :], a_coord[..., 1, :], a_coord[..., 2, :]
+    ay0, ay1, ay2 = s_coord[..., 0, :], s_coord[..., 1, :], s_coord[..., 2, :]
+    az0, az1, az2 = b_coord[..., 0, :], b_coord[..., 1, :], b_coord[..., 2, :]
+
+    # Quad corners in the (a, b) plane: 0=(-1,-1) 1=(1,-1) 2=(1,1) 3=(-1,1);
+    # faces [0,1,2] and [0,2,3] (body_measurements.py:90-96).  Edges as
+    # (origin, direction) in 2D; origins sit at height h.
+    Q0_EDGES = (((-1.0, -1.0), (2.0, 0.0)),
+                ((1.0, -1.0), (0.0, 2.0)),
+                ((1.0, 1.0), (-2.0, -2.0)))
+    Q1_EDGES = (((-1.0, -1.0), (2.0, 2.0)),
+                ((1.0, 1.0), (-2.0, 0.0)),
+                ((-1.0, 1.0), (0.0, -2.0)))
+    EPS = 1e-4  # cuda_op.cu:54-56
+
+    e1x, e1y, e1z = ax1 - ax0, ay1 - ay0, az1 - az0  # body v0v1
+    e2x, e2y, e2z = ax2 - ax0, ay2 - ay0, az2 - az0  # body v0v2
+
+    def pass1_hit(ox, oz, dx, dz):
+        """Quad edge (3D ray at height h, dir_y = 0) vs body triangle."""
+        # pvec = dir x v0v2 with dir = (dx, 0, dz)
+        px = -dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tx, ty, tz = ox - ax0, h - ay0, oz - az0  # tvec = orig - v0
+        u = (tx * px + ty * py + tz * pz) * inv
+        ok &= (u >= 0.0) & (u <= 1.0)
+        # qvec = tvec x v0v1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dz * qz) * inv
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok &= (t >= 0.0) & (t <= 1.0)
+        return ok, ox + t * dx, oz + t * dz
+
+    def pass2_hits(q_index):
+        """Body edges vs in-plane quad triangle, via 2D barycentric tests.
+
+        For both quad triangles det = 4 * dir_y (the in-plane edge cross
+        is exactly 4), so the parallel reject is |dir_y| >= EPS / 4; the
+        barycentric conditions reduce to half-plane tests on the crossing
+        point (derived from the quads' exact +-1 corner coordinates).
+        """
+        hits = []
+        for (vax, vay, vaz, vbx, vby, vbz) in (
+            (ax0, ay0, az0, ax1, ay1, az1),
+            (ax1, ay1, az1, ax2, ay2, az2),
+            (ax2, ay2, az2, ax0, ay0, az0),
+        ):
+            dy = vby - vay
+            ok = jnp.abs(4.0 * dy) >= EPS
+            t = (h - vay) / jnp.where(ok, dy, 1.0)
+            ok &= (t >= 0.0) & (t <= 1.0)
+            cx = vax + t * (vbx - vax)
+            cz = vaz + t * (vbz - vaz)
+            if q_index == 0:  # verts (-1,-1) (1,-1) (1,1): u=(cx-cz)/2, v=(cz+1)/2
+                ok &= (cx >= cz) & (cx - cz <= 2.0) & (cz >= -1.0) & (cx <= 1.0)
+            else:  # verts (-1,-1) (1,1) (-1,1): u=(cx+1)/2, v=(cz-cx)/2
+                ok &= (cx >= -1.0) & (cx <= 1.0) & (cz >= cx) & (cz <= 1.0)
+            hits.append((ok, cx, cz))
+        return hits
+
+    out_a, out_b, out_m = [], [], []
+    for q_index, edges in enumerate((Q0_EDGES, Q1_EDGES)):
+        cands = [pass1_hit(o[0], o[1], d[0], d[1]) for (o, d) in edges]
+        cands += pass2_hits(q_index)
+        # First-hit priority select (reference keeps the first in-range hit).
+        pa = jnp.zeros_like(ax0)
+        pb = jnp.zeros_like(ax0)
+        found = jnp.zeros(ax0.shape, dtype=bool)
+        for ok, ca, cb in cands:
+            upd = ok & ~found
+            pa = jnp.where(upd, ca, pa)
+            pb = jnp.where(upd, cb, pb)
+            found = found | upd
+        out_a.append(pa)
+        out_b.append(pb)
+        out_m.append(found)
+
+    mask = jnp.concatenate(out_m, axis=-1)
+    # collision_faces > 0 drops face id 0 (body_measurements.py:161).
+    F = ax0.shape[-1]
+    face_ok = jnp.concatenate([jnp.arange(F) > 0] * 2)
+    mask = mask & face_ok
+    mz = mask.astype(dtype)
+    a_pts = jnp.concatenate(out_a, axis=-1) * mz
+    b_pts = jnp.concatenate(out_b, axis=-1) * mz
+    return a_pts, b_pts, mask
+
+
+def plane_slice_reference(
+    triangles: Array, height: Array, axis: int = 1
+) -> Tuple[Array, Array]:
+    """AoS wrapper over :func:`plane_slice_reference_soa`.
+
+    Returns points (..., 2F, 3) (the plane coordinate filled with the
+    height) and a (..., 2F) validity mask — one candidate point per
+    (quad-tri, face) pair rather than 2 segment endpoints per face.
+    """
+    in_plane = [a for a in range(3) if a != axis]
+    s = jnp.moveaxis(triangles[..., axis], -1, -2)  # (..., 3, F)
+    a = jnp.moveaxis(triangles[..., in_plane[0]], -1, -2)
+    b = jnp.moveaxis(triangles[..., in_plane[1]], -1, -2)
+    a_pts, b_pts, mask = plane_slice_reference_soa(s, a, b, height)
+    h = jnp.asarray(height)[..., None] * jnp.ones_like(a_pts)
+    coords = {axis: h, in_plane[0]: a_pts, in_plane[1]: b_pts}
+    points = jnp.stack([coords[0], coords[1], coords[2]], axis=-1)
+    return points, mask
+
+
 def plane_slice_soa(
     s_coord: Array,
     a_coord: Array,
