@@ -43,8 +43,10 @@ def main(
 
     synthetic = os.environ.get("SHAPY_TPU_SYNTHETIC_BODY", "0") == "1"
     if synthetic:
+        subdiv = int(os.environ.get("SHAPY_TPU_TEST_SUBDIV", "5"))
         model = SMPLX(
-            model_data=make_synthetic_model_data("smplx", subdivisions=5),
+            model_data=make_synthetic_model_data("smplx",
+                                                 subdivisions=subdiv),
             num_betas=num_betas,
             gender=gender,
         )

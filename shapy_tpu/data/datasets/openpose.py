@@ -18,14 +18,21 @@ from shapy_tpu.data.bbox import bbox_to_center_scale, keyps_to_bbox
 from shapy_tpu.data.openpose import read_openpose_json, threshold_and_keep_parts
 
 
-def read_img(path: str) -> np.ndarray:
-    """RGB float32 [0, 1]."""
+def read_img(path: str, dtype: str = "float32") -> np.ndarray:
+    """RGB float32 [0, 1], or raw uint8 with ``dtype='uint8'`` — the
+    input format for the fused on-device decode+crop+normalize path
+    (``BodyRegressor.apply_from_full_images``), which keeps the
+    host->device transfer 4x smaller and moves the float conversion to
+    the TPU."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if dtype == "uint8":
+        return img
+    return img.astype(np.float32) / 255.0
 
 
 class OpenPoseDataset:
@@ -43,8 +50,10 @@ class OpenPoseDataset:
         face_thresh: float = 0.4,
         body_dset_factor: float = 1.2,
         binarization: bool = True,
+        image_dtype: str = "float32",
         **kwargs,
     ):
+        self.image_dtype = image_dtype
         self.data_folder = os.path.expanduser(os.path.expandvars(data_folder))
         self.img_folder = os.path.join(self.data_folder, img_folder)
         self.keyp_folder = os.path.join(self.data_folder, keyp_folder)
@@ -86,7 +95,7 @@ class OpenPoseDataset:
 
     def __getitem__(self, index: int) -> Optional[Dict]:
         img_path = self.img_paths[index]
-        img = read_img(img_path)
+        img = read_img(img_path, self.image_dtype)
 
         kp = np.array(self.keypoints[index], copy=True)
         kp[:, -1] = np.clip(kp[:, -1], 0, 1)

@@ -38,12 +38,17 @@ MEASUREMENT_KEYS = ("height", "chest", "waist", "hips", "mass")
 
 
 class MetricAccumulator:
-    """Streaming mean with optional per-group breakdowns."""
+    """Streaming mean with optional per-group breakdowns.
+
+    Fully streaming — (sum, count) per group, no O(dataset) host lists —
+    so the accumulator's footprint is O(#groups) regardless of dataset
+    size."""
 
     def __init__(self):
         self.sum = 0.0
         self.count = 0
-        self.groups: Dict[str, List[float]] = defaultdict(list)
+        self.group_sums: Dict[str, float] = defaultdict(float)
+        self.group_counts: Dict[str, int] = defaultdict(int)
 
     def update(self, values: np.ndarray,
                group_keys: Optional[List[str]] = None) -> None:
@@ -52,14 +57,19 @@ class MetricAccumulator:
         self.count += values.size
         if group_keys is not None:
             for v, g in zip(values, group_keys):
-                self.groups[g].append(float(v))
+                self.group_sums[g] += float(v)
+                self.group_counts[g] += 1
 
     @property
     def mean(self) -> float:
         return self.sum / max(self.count, 1)
 
     def group_means(self) -> Dict[str, float]:
-        return {g: float(np.mean(v)) for g, v in self.groups.items() if v}
+        return {
+            g: self.group_sums[g] / c
+            for g, c in self.group_counts.items()
+            if c > 0
+        }
 
 
 def bmi_bucket(height_m: float, mass_kg: float) -> str:

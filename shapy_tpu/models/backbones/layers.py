@@ -157,8 +157,13 @@ def batch_norm(
 
     if train:
         reduce_axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=reduce_axes)
-        mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+        # Moments in f32 regardless of compute dtype: with a bfloat16
+        # backbone (mixed-precision training) a bf16 reduction over
+        # B*H*W elements loses the batch statistics' low bits, which
+        # both skews normalisation and corrupts the running stats.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
         if axis_name is not None:
             # SyncBN: all-reduce the RAW moments (E[x], E[x^2]) like
             # torch SyncBatchNorm. Averaging per-device variances

@@ -501,13 +501,17 @@ class BodyRegressor:
     ) -> Dict[str, Any]:
         """Fused preprocessing + forward (the BASELINE "fuse
         crop+normalize into the model" item): full images (B, H, W, 3) in
-        [0, 1] + crop->image affines (B, 3, 3) are cropped with the
-        on-device bilinear warp, ImageNet-normalised, and fed to the
-        backbone — one jitted program from raw pixels to measurements,
-        no host-side cv2 warp on the hot path."""
+        [0, 1] f32 — or raw uint8, decoded to [0, 1] on device so the
+        host->device transfer is 4x smaller — + crop->image affines
+        (B, 3, 3) are cropped with the on-device bilinear warp,
+        ImageNet-normalised, and fed to the backbone — one jitted program
+        from raw pixels to measurements, no host-side cv2 warp on the hot
+        path."""
         from shapy_tpu.data.crop import jax_bilinear_crop
         from shapy_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
+        if jnp.issubdtype(full_images.dtype, jnp.integer):
+            full_images = full_images.astype(self.dtype) * (1.0 / 255.0)
         mean = jnp.asarray(
             IMAGENET_MEAN if mean is None else mean, full_images.dtype
         )

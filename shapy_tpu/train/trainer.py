@@ -73,7 +73,13 @@ class Trainer:
                 step=state.step,
             )
         self.state = state
-        self.step_fn = jax.jit(make_train_step(regressor, losses, self.tx))
+        # Donate the TrainState: params + opt_state (~840 MB for the
+        # flagship) are consumed and rebuilt every step; donation lets
+        # XLA update them in place instead of allocating a second copy.
+        self.step_fn = jax.jit(
+            make_train_step(regressor, losses, self.tx),
+            donate_argnums=(0,),
+        )
 
     def resume(self) -> None:
         if self.checkpointer is None:

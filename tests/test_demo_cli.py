@@ -93,3 +93,75 @@ def test_demo_batch1_vs_batched(tmp_path, monkeypatch):
             )
         # meshes written for both
         assert os.path.exists(out4 / name.replace(".npz", ".ply"))
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no samples")
+def test_demo_npz_roundtrip_through_virtual_measurements(
+        tmp_path, monkeypatch):
+    """Value-level golden for the demo npz (reference demo.py:321-353):
+
+    run cli/demo.py, re-load its npz through cli/virtual_measurements.py
+    (the betas path), and independently recompute measurements from the
+    SAVED v_shaped — both must agree with the npz's stored measurements.
+    This locks the npz schema AND the save-path unit conventions
+    (metres/kg, v_shaped meaning) end to end.
+    """
+    import jax.numpy as jnp
+
+    import shapy_tpu.cli.demo as demo_mod
+    import shapy_tpu.cli.virtual_measurements as vm_mod
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+
+    subdiv = 2
+    body = SMPLX(model_data=make_synthetic_model_data(
+        "smplx", subdivisions=subdiv))
+    anchors = MeasurementAnchors.synthetic(
+        body.faces, np.asarray(body.params["v_template"]))
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=64)
+
+    def builder(cfg, ckpt=""):
+        return build_body_head(_demo_cfg(), body_model=body,
+                               measurements=meas)
+
+    monkeypatch.setattr(demo_mod, "build_demo_regressor", builder)
+    out_dir = tmp_path / "demo"
+    rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out_dir),
+                       save_vis=False, save_mesh=False, batch_size=1)
+    assert rc == 0
+    npzs = sorted(p for p in os.listdir(out_dir) if p.endswith(".npz"))
+    assert npzs
+
+    # 1. The actual virtual_measurements CLI consumes the demo npzs
+    #    (betas -> forward_shape -> measurements) against the same
+    #    synthetic body.
+    monkeypatch.setenv("SHAPY_TPU_SYNTHETIC_BODY", "1")
+    monkeypatch.setenv("SHAPY_TPU_TEST_SUBDIV", str(subdiv))
+    vm_out = tmp_path / "vm"
+    rc = vm_mod.main(
+        demo_input_folder=str(out_dir), demo_output_folder=str(vm_out),
+        render=False,
+    )
+    assert rc == 0
+
+    # 2. Value-level: measurements recomputed from the SAVED v_shaped
+    #    match the measurements stored in the npz.
+    for name in npzs:
+        with np.load(out_dir / name, allow_pickle=True) as d:
+            stored = d["measurements"].item()
+            v_shaped = jnp.asarray(d["v_shaped"])[None]
+            betas = jnp.asarray(d["betas"]).reshape(1, -1)
+        recomputed = meas.forward_from_vertices(
+            v_shaped, body.faces)["measurements"]
+        for key in ("mass", "height", "chest", "waist", "hips"):
+            got = float(np.asarray(recomputed[key]["tensor"])[0])
+            want = float(np.asarray(stored[key]).reshape(-1)[0])
+            # mass in kg (~1e2), lengths in m: 1e-3 relative covers f32
+            # accumulation-order differences only.
+            assert abs(got - want) <= 1e-3 * max(abs(want), 1.0), (
+                name, key, got, want)
+        # and the betas in the npz regenerate the saved v_shaped
+        v_regen = body.forward_shape(betas)["v_shaped"]
+        np.testing.assert_allclose(
+            np.asarray(v_regen[0]), np.asarray(v_shaped[0]), atol=2e-5)

@@ -203,3 +203,31 @@ def test_perspective_camera_regressor(smplx_data_module):
     cam = out["camera_parameters"]
     assert "focal_length" in cam and cam["translation"].shape == (2, 3)
     assert np.isfinite(np.asarray(out["proj_joints"])).all()
+
+
+def test_apply_from_full_images_uint8(regressor, rng):
+    """uint8 full images (4x smaller host->device transfer) decode to
+    [0, 1] on device and match the f32 path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.data.crop import crop_to_image_affine
+
+    H, W, size = 120, 100, 64
+    img_u8 = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+    A = crop_to_image_affine([50.0, 60.0], 0.4, (size, size)).astype(
+        np.float32)
+
+    out_f32 = regressor.apply_from_full_images(
+        regressor.params,
+        jnp.asarray(img_u8.astype(np.float32) / 255.0)[None],
+        jnp.asarray(A)[None], crop_size=size,
+    )
+    out_u8 = regressor.apply_from_full_images(
+        regressor.params, jnp.asarray(img_u8)[None],
+        jnp.asarray(A)[None], crop_size=size,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f32["stage_02"]["betas"]),
+        np.asarray(out_u8["stage_02"]["betas"]),
+        atol=1e-5,
+    )

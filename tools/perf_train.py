@@ -1,0 +1,124 @@
+"""Train-step perf harness: full fwd+bwd+optimizer step on-chip.
+
+Times the flagship training step (HRNet-W48 + 3-stage head + SMPL-X LBS +
+keypoint/shape/measurement losses + Adam) with the chained-fori_loop
+methodology from bench.py (per-dispatch tunnel latency cancels out).
+
+Usage: python tools/perf_train.py [batch]
+Env:
+  TRAIN_BF16=1    backbone compute in bfloat16 (f32 params/BN stats)
+  TRAIN_REMAT=none|stages|dots  jax.checkpoint policy on the backbone
+  TRAIN_DONATE=1  donate the TrainState buffers to the jitted step
+"""
+
+import os
+import platform
+import sys
+import time
+
+import numpy as np
+
+
+def _chained_ms(step_fn, state, images, batch, rng, ks=(2, 10), reps=3):
+    import jax
+
+    best = {}
+    for k in ks:
+
+        @jax.jit
+        def run(state, images, batch, rng):
+            def body(i, carry):
+                st, acc = carry
+                st, metrics = step_fn(st, images, batch, rng)
+                return st, acc + metrics["total"]
+
+            st, acc = jax.lax.fori_loop(
+                0, k, body, (state, jax.numpy.zeros(()))
+            )
+            return acc
+
+        _ = float(run(state, images, batch, rng))
+        times = []
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(state, images, batch, rng))
+            times.append(time.perf_counter() - t0)
+        best[k] = min(times)
+        print(f"  k={k}: {best[k]:.3f}s", flush=True)
+    k0, k1 = ks
+    return (best[k1] - best[k0]) / (k1 - k0) * 1000.0
+
+
+def main():
+    cache_dir = os.environ.get(
+        "SHAPY_TPU_COMPILE_CACHE",
+        f"/tmp/shapy_tpu_xla_cache_{platform.node()}",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _build_flagship
+    from shapy_tpu.train import RegressorLosses, build_optimizer, \
+        make_train_step
+    from shapy_tpu.train.step import init_train_state
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    regressor = _build_flagship(subdivisions=5)
+    if os.environ.get("TRAIN_BF16", "0") == "1":
+        regressor.backbone_compute_dtype = jnp.bfloat16
+    remat = os.environ.get("TRAIN_REMAT", "none")
+    if remat != "none":
+        regressor.backbone_remat = remat
+    slice_mode = os.environ.get("TRAIN_SLICE", "")
+    if slice_mode:
+        regressor.body_measurements.slice_mode = slice_mode
+
+    loss_cfg = {
+        "body_joints_2d": {"weight": 1.0},
+        "shape": {"weight": 1e-3},
+        "stages_to_penalize": ["stage_02"],
+    }
+    if os.environ.get("TRAIN_MEAS", "1") == "1":
+        loss_cfg["measurements"] = {"weight": 1.0}
+    losses = RegressorLosses({"body": loss_cfg})
+    tx = build_optimizer({"type": "adam", "lr": 1e-4})
+    state = init_train_state(regressor, tx)
+
+    rng_np = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng_np.normal(size=(batch_size, 256, 256, 3)).astype(np.float32))
+    n_kp = 106
+    kp = np.zeros((batch_size, n_kp, 3), np.float32)
+    kp[:, :25, :2] = rng_np.uniform(-1, 1, size=(batch_size, 25, 2))
+    kp[:, :25, 2] = 1.0
+    batch = {
+        "target_keypoints2d": jnp.asarray(kp),
+        "gender": jnp.asarray(rng_np.integers(0, 3, size=batch_size)),
+        "gt_betas": jnp.asarray(
+            rng_np.normal(size=(batch_size, 10)).astype(np.float32)),
+        "height": jnp.asarray(
+            rng_np.uniform(1.5, 1.9, size=batch_size).astype(np.float32)),
+        "height_valid": jnp.ones((batch_size,), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    step = make_train_step(regressor, losses, tx)
+    ms = _chained_ms(step, state, images, batch, rng)
+    print(
+        f"train step batch {batch_size}: {ms:.1f} ms "
+        f"({batch_size / ms * 1000:.0f} img/s)  "
+        f"bf16={os.environ.get('TRAIN_BF16', '0')} remat={remat} "
+        f"slice={slice_mode or 'default'} "
+        f"meas={os.environ.get('TRAIN_MEAS', '1')}"
+    )
+
+
+if __name__ == "__main__":
+    main()
