@@ -17,7 +17,7 @@ crossed by the plane contributes one segment (2 points). Output is a fixed
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,7 @@ def plane_slice_reference_soa(
     a_coord: Array,
     b_coord: Array,
     height: Array,
+    face_ids: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Reference-semantics plane slice (one point per quad-tri/body-tri pair).
 
@@ -205,8 +206,12 @@ def plane_slice_reference_soa(
 
     mask = jnp.concatenate(out_m, axis=-1)
     # collision_faces > 0 drops face id 0 (body_measurements.py:161).
+    # ``face_ids`` carries the ORIGINAL face indices when the caller
+    # slices a candidate subset (see measurements.candidate_faces) so the
+    # rule still keys on the reference's ids, not subset positions.
     F = ax0.shape[-1]
-    face_ok = jnp.concatenate([jnp.arange(F) > 0] * 2)
+    ids = jnp.arange(F) if face_ids is None else jnp.asarray(face_ids)
+    face_ok = jnp.concatenate([ids > 0] * 2)
     mask = mask & face_ok
     mz = mask.astype(dtype)
     a_pts = jnp.concatenate(out_a, axis=-1) * mz

@@ -189,3 +189,51 @@ def test_soa_fast_path_matches_aos(body_like):
             rtol=1e-5,
             err_msg=name,
         )
+
+
+def test_candidate_face_subsets_exact_inside_bound():
+    """The static candidate-face pruning (interval bound over the beta
+    ball) changes NOTHING: measurements with subsets equal the full-face
+    pipeline bit-for-bit for bodies inside the bound, in both slice
+    modes, while pruning a real fraction of the faces."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.measure.measurements import (
+        BodyMeasurements,
+        MeasurementAnchors,
+        candidate_faces,
+    )
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+
+    model = SMPLX(
+        model_data=make_synthetic_model_data("smplx", subdivisions=3))
+    anchors = MeasurementAnchors.synthetic(
+        model.faces, np.asarray(model.params["v_template"]))
+    subsets = candidate_faces(
+        np.asarray(model.params["v_template"]),
+        np.asarray(model.params["shapedirs"])[:, :, :model.num_betas],
+        model.faces, anchors, beta_bound=8.0,
+    )
+    F = model.faces.shape[0]
+    for name, idx in subsets.items():
+        assert len(idx) < F, f"{name}: no pruning ({len(idx)} vs {F})"
+
+    rng = np.random.default_rng(3)
+    # include betas right at the edge of the prior (norm ~= 7.9)
+    betas = rng.normal(size=(4, model.num_betas)).astype(np.float32)
+    betas[2] = betas[2] / np.linalg.norm(betas[2]) * 7.9
+    v = model(betas=jnp.asarray(betas))["v_shaped"]
+
+    for mode in ("reference", "exact"):
+        full = BodyMeasurements(anchors=anchors, slice_mode=mode)
+        pruned = BodyMeasurements(anchors=anchors, slice_mode=mode,
+                                  face_subsets=subsets)
+        mf = full.forward_from_vertices(v, model.faces)["measurements"]
+        mp = pruned.forward_from_vertices(v, model.faces)["measurements"]
+        for key in ("mass", "height", "chest", "waist", "hips"):
+            np.testing.assert_allclose(
+                np.asarray(mf[key]["tensor"]),
+                np.asarray(mp[key]["tensor"]),
+                rtol=0, atol=1e-6,
+                err_msg=f"{mode}/{key}",
+            )
