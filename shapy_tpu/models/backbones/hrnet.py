@@ -228,6 +228,27 @@ def _subsample(store, name, x, num_layers, train, axis_name):
     return x
 
 
+def _ckpt_section(store: ParamStore, enabled: bool, fn, xs):
+    """Run ``fn(local_store, xs) -> ys`` under :func:`jax.checkpoint`.
+
+    The param dict is threaded in and the train-mode batch-stat updates
+    are threaded OUT as explicit pytree leaves — the store's Python-dict
+    side channel would otherwise leak tracers out of the rematerialized
+    scope. Identical math; the section's activations are recomputed from
+    (params, xs) during the backward pass instead of being saved."""
+    if not enabled:
+        return fn(store, xs)
+
+    def inner(params, xs):
+        local = ParamStore(params)
+        local.fold_bn = store.fold_bn
+        return fn(local, xs), local.stat_updates
+
+    ys, updates = jax.checkpoint(inner)(store.params, xs)
+    store.stat_updates.update(updates)
+    return ys
+
+
 def hrnet_forward(
     params: Dict[str, Array],
     images: Array,
@@ -236,55 +257,94 @@ def hrnet_forward(
     return_stages: bool = False,
     old_impl: bool = False,
     fold_bn: Optional[bool] = None,
+    remat: bool = False,
     _store: Optional[ParamStore] = None,
 ) -> Dict[str, Array]:
     """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}.
 
     ``fold_bn`` (default: on whenever ``train`` is False) folds every BN
     eval affine into its conv — identical math, 19 ms faster per batch
-    of 128 on v5e (see layers.bn_fold_params)."""
+    of 128 on v5e (see layers.bn_fold_params).
+
+    ``remat``: checkpoint each stage/head section (training only) —
+    activations inside a section are recomputed in the backward pass
+    instead of living for the whole step. See BENCH.md round-3 train
+    ledger for the measured memory/speed trade."""
     store = _store if _store is not None else ParamStore(params)
     if _store is None:
         store.fold_bn = (not train) if fold_bn is None else fold_bn
-    x = conv_bn_relu(store, "conv1", "bn1", images, 64, 3, 2, 1, train,
-                     axis_name=axis_name)
-    x = conv_bn_relu(store, "conv2", "bn2", x, 64, 3, 2, 1, train,
-                     axis_name=axis_name)
-    x = _run_block_seq(store, "layer1", x, "BOTTLENECK", 64, 4, train,
-                       axis_name)
+    ck = remat and train and not store.init
 
-    xs = _transition(store, "transition1", [x], [256],
-                     _branch_channels("stage2"), train, axis_name)
-    xs = _stage(store, "stage2", xs, "stage2", train, axis_name)
-    xs = _transition(store, "transition2", xs, _branch_channels("stage2"),
-                     _branch_channels("stage3"), train, axis_name)
-    xs = _stage(store, "stage3", xs, "stage3", train, axis_name)
+    def sec_stem(st, images):
+        x = conv_bn_relu(st, "conv1", "bn1", images, 64, 3, 2, 1, train,
+                         axis_name=axis_name)
+        x = conv_bn_relu(st, "conv2", "bn2", x, 64, 3, 2, 1, train,
+                         axis_name=axis_name)
+        return _run_block_seq(st, "layer1", x, "BOTTLENECK", 64, 4, train,
+                              axis_name)
+
+    x = _ckpt_section(store, ck, sec_stem, images)
+
+    def sec_stage2(st, x):
+        xs = _transition(st, "transition1", [x], [256],
+                         _branch_channels("stage2"), train, axis_name)
+        xs = _stage(st, "stage2", xs, "stage2", train, axis_name)
+        return _transition(st, "transition2", xs,
+                           _branch_channels("stage2"),
+                           _branch_channels("stage3"), train, axis_name)
+
+    xs = _ckpt_section(store, ck, sec_stage2, x)
+
+    def sec_stage3(st, xs):
+        return _stage(st, "stage3", xs, "stage3", train, axis_name)
+
+    xs = _ckpt_section(store, ck, sec_stage3, xs)
     stage3_out = xs
-    xs = _transition(store, "transition3", xs, _branch_channels("stage3"),
-                     _branch_channels("stage4"), train, axis_name)
+
+    def sec_trans3(st, xs):
+        return _transition(st, "transition3", xs,
+                           _branch_channels("stage3"),
+                           _branch_channels("stage4"), train, axis_name)
+
+    xs = _ckpt_section(store, ck, sec_trans3, xs)
     # Head: bring every branch to 1/32 resolution and 384ch, concat, then
     # five Bottleneck(512) layers to 2048 and a global mean pool. In the
     # old_impl topology (ref hrnet.py:463-481) stage4 is built but never
     # run: the head consumes the transition3 outputs directly and the
     # concat has 3*384=1152 channels instead of 4*384.
     if old_impl:
-        x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
-        x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
-        x1 = xs[3]
-        feat = jnp.concatenate([x3, x2, x1], axis=-1)
+        def sec_head(st, xs):
+            x3 = _subsample(st, "subsample_3", xs[1], 2, train, axis_name)
+            x2 = _subsample(st, "subsample_2", xs[2], 1, train, axis_name)
+            x1 = xs[3]
+            return jnp.concatenate([x3, x2, x1], axis=-1)
+
+        feat = _ckpt_section(store, ck, sec_head, xs)
         xs = stage3_out  # 'layer{i}' outputs come from stage3 (ref :467)
     else:
-        xs = _stage(store, "stage4", xs, "stage4", train, axis_name)
-        x4 = _subsample(store, "subsample_4", xs[0], 3, train, axis_name)
-        x3 = _subsample(store, "subsample_3", xs[1], 2, train, axis_name)
-        x2 = _subsample(store, "subsample_2", xs[2], 1, train, axis_name)
-        x1 = xs[3]
-        feat = jnp.concatenate([x4, x3, x2, x1], axis=-1)
-    for i in range(5):
-        feat = bottleneck_block(
-            store, f"conv_layers.{i}", feat, 512, 1, True, train,
-            downsample_has_bn=False, axis_name=axis_name,
-        )
+        def sec_stage4(st, xs):
+            return _stage(st, "stage4", xs, "stage4", train, axis_name)
+
+        xs = _ckpt_section(store, ck, sec_stage4, xs)
+
+        def sec_head(st, xs):
+            x4 = _subsample(st, "subsample_4", xs[0], 3, train, axis_name)
+            x3 = _subsample(st, "subsample_3", xs[1], 2, train, axis_name)
+            x2 = _subsample(st, "subsample_2", xs[2], 1, train, axis_name)
+            x1 = xs[3]
+            return jnp.concatenate([x4, x3, x2, x1], axis=-1)
+
+        feat = _ckpt_section(store, ck, sec_head, xs)
+
+    def sec_convlayers(st, feat):
+        for i in range(5):
+            feat = bottleneck_block(
+                st, f"conv_layers.{i}", feat, 512, 1, True, train,
+                downsample_has_bn=False, axis_name=axis_name,
+            )
+        return feat
+
+    feat = _ckpt_section(store, ck, sec_convlayers, feat)
     concat = jnp.mean(feat, axis=(1, 2))
 
     out = {"concat": concat}

@@ -109,7 +109,31 @@ def main():
     }
     rng = jax.random.PRNGKey(0)
 
-    step = make_train_step(regressor, losses, tx)
+    if os.environ.get("TRAIN_FWD_ONLY", "0") == "1":
+        # forward + loss in train mode, no grad/optimizer — the
+        # decomposition baseline for the ledger.
+        from shapy_tpu.train.step import forward_with_stats
+
+        def fwd_step(state, images, batch, rng):
+            out, _ = forward_with_stats(
+                regressor, state.params, images, batch, rng)
+            loss_dict = losses(out, batch)
+            return state, loss_dict
+
+        step = fwd_step
+    else:
+        step = make_train_step(regressor, losses, tx)
+
+    if os.environ.get("TRAIN_MEMSTATS", "0") == "1":
+        import jax as _jax
+
+        st, m = _jax.jit(step)(state, images, batch, rng)
+        _jax.block_until_ready(m["total"])
+        stats = _jax.local_devices()[0].memory_stats() or {}
+        for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k in stats:
+                print(f"  {k}: {stats[k] / 1e9:.2f} GB", flush=True)
+
     ms = _chained_ms(step, state, images, batch, rng)
     print(
         f"train step batch {batch_size}: {ms:.1f} ms "
