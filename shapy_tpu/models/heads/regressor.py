@@ -334,12 +334,21 @@ class BodyRegressor:
         rng: Optional[Array] = None,
         axis_name: Optional[str] = None,
         backbone_store=None,
+        model_params: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Any]:
         """images: (B, H, W, 3) normalised crops; batch: optional target
         dict with 'gender' (int8: 0 neutral / 1 male / 2 female),
         'attributes', 'height', 'weight' for the attribute plugins.
         ``backbone_store`` (a ParamStore) collects BN stat updates in
-        train mode for the functional train step."""
+        train mode for the functional train step.
+
+        ``model_params``: the body model's parameter pytree, passed as a
+        jit ARGUMENT instead of closed over. Closure-captured jax arrays
+        are embedded verbatim in the serialized HLO (measured: a 4 MB
+        array adds 4 MB to the module proto) — the flagship's ~100 MB of
+        SMPL-X blend shapes made every XLA compile slow and overflowed
+        the dev tunnel's compile request at batch 256. Defaults to the
+        closure (``self.model.params``) for convenience call sites."""
         B = images.shape[0]
         features = self.compute_features(
             params, images, train, axis_name, backbone_store
@@ -366,7 +375,8 @@ class BodyRegressor:
                 [param_dicts[i][key] for i in posed], axis=0
             )
         model_output = self.model(
-            get_skin=True, return_shaped=True, params=None, **merged
+            get_skin=True, return_shaped=True, params=model_params,
+            **merged
         )
 
         for si, i in enumerate(posed):
@@ -484,7 +494,8 @@ class BodyRegressor:
                 jnp.where((gender == 2)[:, None], female_betas,
                           jnp.zeros_like(male_betas)),
             )
-            v_shaped_ref = self.model.forward_shape(betas_ref)["v_shaped"]
+            v_shaped_ref = self.model.forward_shape(
+                betas_ref, params=model_params)["v_shaped"]
             last["betas_ref"] = betas_ref
             last["v_shaped_ref"] = v_shaped_ref
 

@@ -162,11 +162,20 @@ def make_train_step(
     ``(state, images, batch, rng) -> (state, metrics)`` and is safe to jit
     (optionally with in/out shardings).
     """
-    def step(state: TrainState, images, batch, rng
+    def step(state: TrainState, images, batch, rng, model_consts=None
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """``model_consts``: the frozen body-model param pytree, passed
+        as a jit argument so its ~100 MB of blend shapes are NOT
+        embedded into the serialized HLO as literals (see
+        BodyRegressor.apply's model_params note). stop_gradient'd — the
+        backward pass prunes it."""
+        if model_consts is not None:
+            model_consts = jax.lax.stop_gradient(model_consts)
+
         def compute(params):
             out, stat_updates = forward_with_stats(
-                regressor, params, images, batch, rng
+                regressor, params, images, batch, rng,
+                model_params=model_consts,
             )
             loss_dict = losses(out, batch)
             return loss_dict["total"], (loss_dict, stat_updates)
@@ -209,7 +218,8 @@ def make_train_step(
     return step
 
 
-def forward_with_stats(regressor, params, images, batch, rng):
+def forward_with_stats(regressor, params, images, batch, rng,
+                       model_params=None):
     """Run the regressor forward in train mode, returning (out,
     batch-stat updates) functionally."""
     from shapy_tpu.models.backbones.layers import ParamStore
@@ -223,6 +233,7 @@ def forward_with_stats(regressor, params, images, batch, rng):
         train=True,
         rng=rng,
         backbone_store=store,
+        model_params=model_params,
     )
     return out, store.stat_updates
 

@@ -80,6 +80,12 @@ class Trainer:
             make_train_step(regressor, losses, self.tx),
             donate_argnums=(0,),
         )
+        # Frozen body-model constants as a jit ARGUMENT — closure capture
+        # would embed ~100 MB of blend shapes into the serialized HLO
+        # (slow compiles; overflows the dev tunnel's compile request at
+        # batch 256). Same arrays every call -> no retracing.
+        self.model_consts = getattr(regressor, "model", None) and \
+            regressor.model.params
 
     def resume(self) -> None:
         if self.checkpointer is None:
@@ -131,7 +137,7 @@ class Trainer:
             images = merged.pop("images")
             rng, sub = jax.random.split(rng)
             self.state, metrics = self.step_fn(
-                self.state, images, merged, sub
+                self.state, images, merged, sub, self.model_consts
             )
 
             if (step + 1) % self.summary_steps == 0:

@@ -19,29 +19,35 @@ import time
 import numpy as np
 
 
-def _chained_ms(step_fn, state, images, batch, rng, ks=(2, 10), reps=3):
+def _chained_ms(step_fn, state, images, batch, rng, mconsts=None,
+                ks=(2, 10), reps=3):
+    """One compile (dynamic trip count) — tunnel compiles of the train
+    graph cost minutes each."""
     import jax
+    import jax.numpy as jnp
 
+    @jax.jit
+    def run(state, images, batch, rng, mconsts, k):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = step_fn(st, images, batch, rng, mconsts)
+            return st, acc + metrics["total"]
+
+        st, acc = jax.lax.fori_loop(
+            0, k, body, (state, jax.numpy.zeros(()))
+        )
+        return acc
+
+    t0 = time.perf_counter()
+    _ = float(run(state, images, batch, rng, mconsts, jnp.int32(ks[0])))
+    print(f"  [compile+warm {time.perf_counter() - t0:.1f}s]", flush=True)
     best = {}
     for k in ks:
-
-        @jax.jit
-        def run(state, images, batch, rng):
-            def body(i, carry):
-                st, acc = carry
-                st, metrics = step_fn(st, images, batch, rng)
-                return st, acc + metrics["total"]
-
-            st, acc = jax.lax.fori_loop(
-                0, k, body, (state, jax.numpy.zeros(()))
-            )
-            return acc
-
-        _ = float(run(state, images, batch, rng))
         times = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            _ = float(run(state, images, batch, rng))
+            _ = float(run(state, images, batch, rng, mconsts,
+                          jnp.int32(k)))
             times.append(time.perf_counter() - t0)
         best[k] = min(times)
         print(f"  k={k}: {best[k]:.3f}s", flush=True)
@@ -114,9 +120,10 @@ def main():
         # decomposition baseline for the ledger.
         from shapy_tpu.train.step import forward_with_stats
 
-        def fwd_step(state, images, batch, rng):
+        def fwd_step(state, images, batch, rng, mconsts=None):
             out, _ = forward_with_stats(
-                regressor, state.params, images, batch, rng)
+                regressor, state.params, images, batch, rng,
+                model_params=mconsts)
             loss_dict = losses(out, batch)
             return state, loss_dict
 
@@ -124,17 +131,19 @@ def main():
     else:
         step = make_train_step(regressor, losses, tx)
 
+    mconsts = regressor.model.params
+
     if os.environ.get("TRAIN_MEMSTATS", "0") == "1":
         import jax as _jax
 
-        st, m = _jax.jit(step)(state, images, batch, rng)
+        st, m = _jax.jit(step)(state, images, batch, rng, mconsts)
         _jax.block_until_ready(m["total"])
         stats = _jax.local_devices()[0].memory_stats() or {}
         for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
             if k in stats:
                 print(f"  {k}: {stats[k] / 1e9:.2f} GB", flush=True)
 
-    ms = _chained_ms(step, state, images, batch, rng)
+    ms = _chained_ms(step, state, images, batch, rng, mconsts)
     print(
         f"train step batch {batch_size}: {ms:.1f} ms "
         f"({batch_size / ms * 1000:.0f} img/s)  "
