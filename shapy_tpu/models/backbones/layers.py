@@ -13,6 +13,7 @@ with running stats stored like torch (``running_mean`` / ``running_var``).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -133,6 +134,108 @@ def conv2d(
     return y
 
 
+def _bn_moments(x: Array, axis_name: Optional[str]):
+    """f32 batch moments (E[x], E[x^2] -> mean, var) over all but the
+    channel axis, optionally ``lax.pmean``-ed (SyncBN: all-reduce the RAW
+    moments like torch SyncBatchNorm — averaging per-device variances
+    would understate the global variance by the spread of the means)."""
+    reduce_axes = tuple(range(x.ndim - 1))
+    # Moments in f32 regardless of compute dtype: with a bfloat16
+    # backbone (mixed-precision training) a bf16 reduction over
+    # B*H*W elements loses the batch statistics' low bits, which
+    # both skews normalisation and corrupts the running stats.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)
+    return mean, var
+
+
+def _bn_normalize(x, gamma, beta, mean, var, eps):
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
+    xhat = (x - mean.astype(x.dtype)) * inv
+    return xhat * gamma.astype(x.dtype) + beta.astype(x.dtype), xhat, inv
+
+
+def _bn_train_core(x, gamma, beta, eps, axis_name):
+    mean, var = _bn_moments(x, axis_name)
+    y, _, _ = _bn_normalize(x, gamma, beta, mean, var, eps)
+    return y, mean, var
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bn_train_core(x, gamma, beta, eps, axis_name):
+    """Train-mode BN with a hand-written backward.
+
+    Returns ``(y, mean_f32, var_f32)`` (moments exported for the running-
+    stat EMA). Same math as differentiating through :func:`_bn_moments`,
+    but the backward is the standard fused two-reduction BN formula:
+
+        dx = gamma * rstd * (dy - mean(dy) - xhat * mean(dy * xhat))
+
+    Measured on v5e (batch 128, 64x64x48, bf16): autodiff through the
+    moments costs 0.53 ms/layer for the conv+BN+relu backward vs 0.23 ms
+    for this formula + the dgrad conv — the autodiff graph spends extra
+    HBM passes re-deriving xhat and splitting the mean/var contributions.
+    ~190 BN layers make this the round-3 train-step lever (BENCH.md)."""
+    return _bn_train_core(x, gamma, beta, eps, axis_name)
+
+
+def _bn_train_fwd(x, gamma, beta, eps, axis_name):
+    mean, var = _bn_moments(x, axis_name)
+    y, xhat, inv = _bn_normalize(x, gamma, beta, mean, var, eps)
+    return (y, mean, var), (xhat, inv, gamma, x.shape)
+
+
+def _bn_train_bwd(eps, axis_name, res, cts):
+    dy, dmean_ct, dvar_ct = cts
+    xhat, inv, gamma, xshape = res
+    reduce_axes = tuple(range(len(xshape) - 1))
+    n = float(np.prod([xshape[a] for a in reduce_axes]))
+
+    dyf = dy.astype(jnp.float32)
+    sdy = jnp.sum(dyf, axis=reduce_axes)
+    sdyx = jnp.sum(dyf * xhat.astype(jnp.float32), axis=reduce_axes)
+    # Param grads: plain sums under GSPMD (axis_name=None — the
+    # partitioner inserts the cross-device reduction itself); explicit
+    # psum under shard_map SyncBN, where the custom bwd is responsible
+    # for returning a properly-replicated cotangent for the replicated
+    # gamma/beta (shard_map's VMA check enforces this).
+    dgamma, dbeta = sdyx, sdy
+    if axis_name is not None:
+        dgamma = jax.lax.psum(dgamma, axis_name)
+        dbeta = jax.lax.psum(dbeta, axis_name)
+    dgamma = dgamma.astype(gamma.dtype)
+    dbeta = dbeta.astype(gamma.dtype)
+
+    mdy, mdyx = sdy / n, sdyx / n
+    if axis_name is not None:
+        # dx couples every element through the pmean'd moments.
+        mdy = jax.lax.pmean(mdy, axis_name)
+        mdyx = jax.lax.pmean(mdyx, axis_name)
+    scale = (gamma.astype(jnp.float32) * inv.astype(jnp.float32))
+    dx = scale.astype(dy.dtype) * (
+        dy - mdy.astype(dy.dtype) - xhat * mdyx.astype(dy.dtype)
+    )
+
+    # Cotangents for the exported moments (zero in normal training — the
+    # EMA side channel is not differentiated; kept for correctness).
+    # d mean/d x_i = 1/n; d var/d x_i = 2 (x_i - mean)/n, and
+    # (x_i - mean) == xhat / inv.
+    if axis_name is not None:
+        dmean_ct = jax.lax.pmean(dmean_ct, axis_name)
+        dvar_ct = jax.lax.pmean(dvar_ct, axis_name)
+    dx = dx + (dmean_ct / n).astype(dy.dtype) + (
+        dvar_ct * 2.0 / n).astype(dy.dtype) * (xhat / inv)
+    return dx, dgamma, dbeta
+
+
+bn_train_core.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
 def batch_norm(
     store: ParamStore,
     name: str,
@@ -156,22 +259,8 @@ def batch_norm(
     rvar = store.get(f"{name}.running_var", (c,), "ones")
 
     if train:
+        y, mean, var = bn_train_core(x, gamma, beta, eps, axis_name)
         reduce_axes = tuple(range(x.ndim - 1))
-        # Moments in f32 regardless of compute dtype: with a bfloat16
-        # backbone (mixed-precision training) a bf16 reduction over
-        # B*H*W elements loses the batch statistics' low bits, which
-        # both skews normalisation and corrupts the running stats.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=reduce_axes)
-        mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
-        if axis_name is not None:
-            # SyncBN: all-reduce the RAW moments (E[x], E[x^2]) like
-            # torch SyncBatchNorm. Averaging per-device variances
-            # instead would understate the global variance by the
-            # cross-device spread of the means.
-            mean = jax.lax.pmean(mean, axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, axis_name)
-        var = mean_sq - jnp.square(mean)
         n = np.prod([x.shape[a] for a in reduce_axes])
         unbiased = var * (n / max(n - 1, 1))
         store.stat_updates[f"{name}.running_mean"] = (
@@ -180,12 +269,10 @@ def batch_norm(
         store.stat_updates[f"{name}.running_var"] = (
             (1 - momentum) * rvar + momentum * unbiased.astype(rvar.dtype)
         )
-    else:
-        mean, var = rmean, rvar
+        return y
 
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps).astype(x.dtype)
-    return (x - mean.astype(x.dtype)) * inv * gamma.astype(x.dtype) \
-        + beta.astype(x.dtype)
+    y, _, _ = _bn_normalize(x, gamma, beta, rmean, rvar, eps)
+    return y
 
 
 def conv_bn_relu(store, name_conv, name_bn, x, out_ch, kernel, stride,

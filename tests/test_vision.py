@@ -137,6 +137,51 @@ def test_batch_norm_matches_torch_semantics():
         bn.running_var.numpy(), atol=1e-4)
 
 
+def test_batch_norm_custom_vjp_matches_autodiff_and_torch():
+    """The train-mode BN backward is a hand-written custom_vjp (the
+    round-3 train-step perf lever, see layers.bn_train_core). It must be
+    gradient-identical to (a) differentiating through the moments and
+    (b) torch.nn.BatchNorm2d."""
+    import torch
+
+    from shapy_tpu.models.backbones.layers import (
+        _bn_train_core, bn_train_core)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4, 8, 8, 6)).astype(np.float32)
+    gamma = rng.normal(size=6).astype(np.float32)
+    beta = rng.normal(size=6).astype(np.float32)
+    dy = rng.normal(size=(4, 8, 8, 6)).astype(np.float32)
+
+    def loss(f, x_, g_, b_):
+        y, _, _ = f(x_, g_, b_, 1e-5, None)
+        return jnp.sum(y * jnp.asarray(dy))
+
+    g_custom = jax.grad(
+        lambda *a: loss(bn_train_core, *a), argnums=(0, 1, 2)
+    )(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+    g_auto = jax.grad(
+        lambda *a: loss(_bn_train_core, *a), argnums=(0, 1, 2)
+    )(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+    for a, c in zip(g_auto, g_custom):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5)
+
+    bn = torch.nn.BatchNorm2d(6, momentum=0.1)
+    bn.weight.data = torch.tensor(gamma)
+    bn.bias.data = torch.tensor(beta)
+    bn.train()
+    xt = torch.tensor(x, requires_grad=True)
+    yt = bn(xt.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    (yt * torch.tensor(dy)).sum().backward()
+    np.testing.assert_allclose(np.asarray(g_custom[0]),
+                               xt.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_custom[1]),
+                               bn.weight.grad.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_custom[2]),
+                               bn.bias.grad.numpy(), rtol=1e-4)
+
+
 def test_resnet50(capsys):
     params = resnet_init(50, seed=0)
     out = resnet_forward(params, jnp.zeros((1, 64, 64, 3)), depth=50)
