@@ -7,8 +7,11 @@ methodology from bench.py (per-dispatch tunnel latency cancels out).
 Usage: python tools/perf_train.py [batch]
 Env:
   TRAIN_BF16=1    backbone compute in bfloat16 (f32 params/BN stats)
-  TRAIN_REMAT=none|stages|dots  jax.checkpoint policy on the backbone
-  TRAIN_DONATE=1  donate the TrainState buffers to the jitted step
+  TRAIN_REMAT=stages  jax.checkpoint each HRNet stage (memory option)
+  TRAIN_FWD_ONLY=1 / TRAIN_MEAS=0 / TRAIN_MEMSTATS=1  decomposition aids
+
+(The chained fori_loop cannot donate buffers — the Trainer's real loop
+uses jit(donate_argnums=(0,)) instead.)
 """
 
 import os
