@@ -40,9 +40,8 @@ A100_REFERENCE_IMGS_PER_SEC = 90.0  # estimated, not measured (see above)
 
 def _chained_device_time_ms(body, params, mconsts, x0, ks=(4, 40),
                             reps=3):
-    """Per-iteration device time: run `body` k times chained inside one
-    jit, reduce to ONE scalar on-device, fetch it, and difference the
-    two k's (min over reps beats tunnel jitter).
+    """Per-iteration device time of `body` — see
+    shapy_tpu.utils.timing.chained_device_ms for the methodology.
 
     The on-device reduction matters: fetching any full-sized output
     would drag 100s of MB through the tunnel per timed call (~10 s of
@@ -50,24 +49,18 @@ def _chained_device_time_ms(body, params, mconsts, x0, ks=(4, 40),
     The scalar depends on every element of the loop carry, so nothing
     is dead-code-eliminated."""
     import jax
+    import jax.numpy as jnp
 
-    best = {}
-    for k in ks:
+    from shapy_tpu.utils.timing import chained_device_ms
 
-        @jax.jit
-        def run(p, mc, x):
-            y = jax.lax.fori_loop(0, k, lambda i, x: body(p, mc, x), x)
-            return y.mean()
+    @jax.jit
+    def run(p, mc, x, k):
+        y = jax.lax.fori_loop(0, k, lambda i, x: body(p, mc, x), x)
+        return y.mean()
 
-        _ = float(run(params, mconsts, x0))
-        times = []
-        for _i in range(reps):
-            t0 = time.perf_counter()
-            _ = float(run(params, mconsts, x0))
-            times.append(time.perf_counter() - t0)
-        best[k] = min(times)
-    k0, k1 = ks
-    return (best[k1] - best[k0]) / (k1 - k0) * 1000.0
+    return chained_device_ms(
+        lambda p, mc, x, k: run(p, mc, x, jnp.int32(k)),
+        (params, mconsts, x0), ks=ks, reps=reps)
 
 
 def _make_fake_openpose_tree(root: str, n_images: int, size=(480, 360)):

@@ -311,9 +311,17 @@ class BodyMeasurements:
 
     # -- SoA fast path -----------------------------------------------------
     def forward_from_vertices(
-        self, vertices: Array, faces
+        self, vertices: Array, faces, use_face_subsets: bool = True
     ) -> Dict[str, Dict[str, Array]]:
         """All measurements straight from (B, V, 3) vertices + (F, 3) faces.
+
+        ``use_face_subsets=False`` ignores any configured candidate-face
+        pruning: the subsets are only error-free for bodies inside the
+        beta bound they were built for (``candidate_faces`` beta_bound),
+        which regressed shapes satisfy at convergence but not necessarily
+        mid-training — the training path passes False (the measurement
+        terms' cost hides entirely under the conv schedule there,
+        BENCH.md round-3 train ledger).
 
         The hot path for the regressor/eval loop: gathers each coordinate
         into its own (B, 3, F) vertex-major plane and keeps the whole
@@ -361,7 +369,8 @@ class BodyMeasurements:
         for name in ("chest", "waist", "hips"):
             anchor = getattr(self.anchors, name)
             plane_h = anchor_y(anchor)
-            sub = (self.face_subsets or {}).get(name)
+            sub = ((self.face_subsets or {}).get(name)
+                   if use_face_subsets else None)
             if sub is None:
                 sx, sy_, sz, ids = tx, ty, tz, None
             else:

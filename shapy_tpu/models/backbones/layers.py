@@ -223,13 +223,17 @@ def _bn_train_bwd(eps, axis_name, res, cts):
 
     # Cotangents for the exported moments (zero in normal training — the
     # EMA side channel is not differentiated; kept for correctness).
-    # d mean/d x_i = 1/n; d var/d x_i = 2 (x_i - mean)/n, and
-    # (x_i - mean) == xhat / inv.
+    # d mean/d x_i = 1/n_total; d var/d x_i = 2 (x_i - mean)/n_total,
+    # with (x_i - mean) == xhat / inv and n_total = n * num_devices
+    # under SyncBN (the pmean'd moments spread each element's influence
+    # across the global batch).
+    n_total = n
     if axis_name is not None:
         dmean_ct = jax.lax.pmean(dmean_ct, axis_name)
         dvar_ct = jax.lax.pmean(dvar_ct, axis_name)
-    dx = dx + (dmean_ct / n).astype(dy.dtype) + (
-        dvar_ct * 2.0 / n).astype(dy.dtype) * (xhat / inv)
+        n_total = n * jax.lax.psum(1.0, axis_name)
+    dx = dx + (dmean_ct / n_total).astype(dy.dtype) + (
+        dvar_ct * 2.0 / n_total).astype(dy.dtype) * (xhat / inv)
     return dx, dgamma, dbeta
 
 

@@ -433,8 +433,14 @@ class BodyRegressor:
             # SoA fast path: no (B, F, 3, 3) triangle materialisation,
             # full-lane-width slice+hull (see BodyMeasurements
             # .forward_from_vertices).
+            # Candidate-face pruning only in eval: the static subsets
+            # are exact only inside the beta bound they were built for,
+            # and mid-training predictions can wander outside it (the
+            # pruning's win is eval throughput; in training the
+            # measurement cost hides under the conv schedule anyway).
             measurements = self.body_measurements.forward_from_vertices(
-                last["v_shaped"], self.model.faces
+                last["v_shaped"], self.model.faces,
+                use_face_subsets=not train,
             )["measurements"]
             meas_dict = {k: v["tensor"] for k, v in measurements.items()}
             out["measurements"] = meas_dict

@@ -239,9 +239,15 @@ def forward_with_stats(regressor, params, images, batch, rng,
 
 
 def init_train_state(regressor, tx) -> TrainState:
+    # COPY the parameter arrays: the Trainer jits the step with
+    # donate_argnums=(0,), and donating buffers that alias
+    # regressor.params would invalidate the regressor's own arrays on
+    # real devices after the first step (CPU ignores donation, so tests
+    # would never catch it).
+    params = jax.tree_util.tree_map(jnp.copy, regressor.params)
     return TrainState(
-        params=regressor.params,
-        opt_state=tx.init(regressor.params),
+        params=params,
+        opt_state=tx.init(params),
         step=jnp.asarray(0, jnp.int32),
     )
 

@@ -347,3 +347,20 @@ def test_optimizer_semantics_match_torch():
     want = torch_step(torch.optim.Adam, lr=lr, weight_decay=0.05)
     got = ours_step({"type": "adam", "lr": lr, "weight_decay": 0.05})
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_init_train_state_does_not_alias_regressor_params(tiny_regressor):
+    """The Trainer jits its step with donate_argnums=(0,): if the
+    TrainState aliased regressor.params, the first step would invalidate
+    the regressor's own arrays on real devices (donation is ignored on
+    CPU, so only an identity check catches it here)."""
+    tx = build_optimizer({"type": "adam", "lr": 1e-4})
+    state = init_train_state(tiny_regressor, tx)
+
+    reg_leaves = jax.tree_util.tree_leaves(tiny_regressor.params)
+    state_leaves = jax.tree_util.tree_leaves(state.params)
+    reg_ids = {id(leaf) for leaf in reg_leaves}
+    assert all(id(leaf) not in reg_ids for leaf in state_leaves), (
+        "TrainState.params aliases regressor.params — donation would "
+        "invalidate the regressor's arrays"
+    )

@@ -20,38 +20,32 @@ Usage: python tools/perf_conv_probe3.py [batch]
 import os
 import platform
 import sys
-import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
 def _chained_ms(body, x0, ks=(256, 2304), reps=3):
-    """block_until_ready, NOT np.asarray — a device fetch of the carried
-    array costs seconds through the tunnel and swamps the signal. One
-    compile per variant (dynamic trip count): tunnel compiles cost
-    minutes each."""
+    """On-device .mean() then a 4-byte float() fetch — NEVER fetch the
+    carried array itself, which costs seconds through the tunnel and
+    swamps the signal. One compile per variant (dynamic trip count):
+    tunnel compiles cost minutes each."""
     import jax
     import jax.numpy as jnp
 
+    from shapy_tpu.utils.timing import chained_device_ms
+
     @jax.jit
     def run(x, k):
-        return jax.lax.fori_loop(0, k, lambda i, x: body(x), x,
-                                 unroll=False)
+        y = jax.lax.fori_loop(0, k, lambda i, x: body(x), x,
+                              unroll=False)
+        return y.mean()
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(x0, jnp.int32(ks[0])))
-    print(f"   [compile+warm {time.perf_counter() - t0:.1f}s]",
-          flush=True)
-    best = {}
-    for k in ks:
-        times = []
-        for _i in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(x0, jnp.int32(k)))
-            times.append(time.perf_counter() - t0)
-        best[k] = min(times)
-    k0, k1 = ks
-    return (best[k1] - best[k0]) / (k1 - k0) * 1000.0
+    return chained_device_ms(
+        lambda x, k: run(x, jnp.int32(k)), (x0,), ks=ks, reps=reps,
+        verbose=True)
 
 
 def main():

@@ -17,7 +17,6 @@ uses jit(donate_argnums=(0,)) instead.)
 import os
 import platform
 import sys
-import time
 
 import numpy as np
 
@@ -28,6 +27,8 @@ def _chained_ms(step_fn, state, images, batch, rng, mconsts=None,
     graph cost minutes each."""
     import jax
     import jax.numpy as jnp
+
+    from shapy_tpu.utils.timing import chained_device_ms
 
     @jax.jit
     def run(state, images, batch, rng, mconsts, k):
@@ -41,21 +42,10 @@ def _chained_ms(step_fn, state, images, batch, rng, mconsts=None,
         )
         return acc
 
-    t0 = time.perf_counter()
-    _ = float(run(state, images, batch, rng, mconsts, jnp.int32(ks[0])))
-    print(f"  [compile+warm {time.perf_counter() - t0:.1f}s]", flush=True)
-    best = {}
-    for k in ks:
-        times = []
-        for _i in range(reps):
-            t0 = time.perf_counter()
-            _ = float(run(state, images, batch, rng, mconsts,
-                          jnp.int32(k)))
-            times.append(time.perf_counter() - t0)
-        best[k] = min(times)
-        print(f"  k={k}: {best[k]:.3f}s", flush=True)
-    k0, k1 = ks
-    return (best[k1] - best[k0]) / (k1 - k0) * 1000.0
+    return chained_device_ms(
+        lambda *a: run(*a[:-1], jnp.int32(a[-1])),
+        (state, images, batch, rng, mconsts), ks=ks, reps=reps,
+        verbose=True)
 
 
 def main():
@@ -83,10 +73,15 @@ def main():
     if os.environ.get("TRAIN_BF16", "0") == "1":
         regressor.backbone_compute_dtype = jnp.bfloat16
     remat = os.environ.get("TRAIN_REMAT", "none")
+    if remat not in ("none", "stages"):
+        sys.exit(f"TRAIN_REMAT must be none|stages, got {remat!r}")
     if remat != "none":
         regressor.backbone_remat = remat
     slice_mode = os.environ.get("TRAIN_SLICE", "")
     if slice_mode:
+        if slice_mode not in ("reference", "exact"):
+            sys.exit(f"TRAIN_SLICE must be reference|exact, "
+                     f"got {slice_mode!r}")
         regressor.body_measurements.slice_mode = slice_mode
 
     loss_cfg = {

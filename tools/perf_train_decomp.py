@@ -11,7 +11,6 @@ Env: TRAIN_BF16=1 (default 1 here), DECOMP_WHAT=backbone|backbone_fwd
 import os
 import platform
 import sys
-import time
 
 import numpy as np
 
@@ -54,37 +53,26 @@ def main():
         return out["concat"].astype(jnp.float32).sum()
 
     if what == "backbone":
-        def body(p, mc, x):
+        def body(p, x):
             g = jax.grad(fwd)(p, x)
             # fold grads into a scalar-ish carry on x to serialise iters
             leaves = jax.tree_util.tree_leaves(g)
             s = sum(l.sum().astype(jnp.float32) for l in leaves)
             return x + (s * 1e-20).astype(x.dtype)
     else:
-        def body(p, mc, x):
+        def body(p, x):
             return x + (fwd(p, x) * 1e-20).astype(x.dtype)
 
-    ks = (2, 10)
-    reps = 3
+    from shapy_tpu.utils.timing import chained_device_ms
 
     @jax.jit
     def run(p, x, k):
-        y = jax.lax.fori_loop(0, k, lambda i, x: body(p, None, x), x)
+        y = jax.lax.fori_loop(0, k, lambda i, x: body(p, x), x)
         return y.mean()
 
-    t0 = time.perf_counter()
-    _ = float(run(params, images, jnp.int32(ks[0])))
-    print(f"  [compile+warm {time.perf_counter() - t0:.1f}s]", flush=True)
-    best = {}
-    for k in ks:
-        times = []
-        for _i in range(reps):
-            t0 = time.perf_counter()
-            _ = float(run(params, images, jnp.int32(k)))
-            times.append(time.perf_counter() - t0)
-        best[k] = min(times)
-        print(f"  k={k}: {best[k]:.3f}s", flush=True)
-    ms = (best[ks[1]] - best[ks[0]]) / (ks[1] - ks[0]) * 1000.0
+    ms = chained_device_ms(
+        lambda p, x, k: run(p, x, jnp.int32(k)), (params, images),
+        ks=(2, 10), reps=3, verbose=True)
     print(f"{what} batch {batch_size}: {ms:.1f} ms  bf16={int(bf16)}")
 
 

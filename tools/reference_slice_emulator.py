@@ -115,7 +115,6 @@ def _sat_collide(qtri, tris):
     collide = np.ones(F, dtype=bool)
     for ax in axes:
         # interval overlap on this axis (cuda_op.cu:256-266)
-        pq = np.stack([ax @ q0, ax @ q1, ax @ q2], axis=-1) if ax.ndim == 2 else None
         pq = np.stack(
             [np.sum(ax * bq(q, ax.shape), axis=-1) for q in (q0, q1, q2)], axis=-1
         )
@@ -200,8 +199,8 @@ def emulate_slice_points(triangles: np.ndarray, plane_h: float,
     }
 
 
-def reference_circumference(triangles: np.ndarray, plane_h: float) -> float:
-    """Full emulated reference circumference (hull perimeter, meters)."""
+def reference_circumference(triangles: np.ndarray, plane_h: float):
+    """Emulated reference circumference -> (perimeter_m, debug_dict)."""
     from scipy.spatial import ConvexHull
 
     out = emulate_slice_points(triangles, plane_h)
