@@ -41,10 +41,12 @@ def weak_persp_to_blender(
 ) -> Dict[str, np.ndarray]:
     """Weak-perspective -> perspective (Blender) camera
     (reference demo.py:70-106): z = 2f / (s * bbox_size)."""
+    from shapy_tpu.render.rasterizer import (
+        weak_persp_to_blender as _wp_transl)
+
     camera_scale = np.asarray(camera_scale).reshape(-1)
-    camera_transl = np.asarray(camera_transl).reshape(-1, 2)
-    z = 2.0 * focal_length / (camera_scale * orig_bbox_sizes)
-    transl = np.concatenate([camera_transl, z[:, None]], axis=1)
+    transl = _wp_transl(camera_scale, camera_transl, orig_bbox_sizes,
+                        focal_length=focal_length)
     shift_x = -(orig_centers[:, 0] / W - 0.5)
     shift_y = (orig_centers[:, 1] - 0.5 * H) / W
     n = len(camera_scale)
@@ -372,6 +374,9 @@ def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
             faces,
             transl=hd_params["transl"][0],
             focal_length=focal_length,
+            # principal point = subject bbox center, like the
+            # reference's IntrinsicsCamera (plot_utils.py:719-723)
+            camera_center=hd_params["center"][0],
         )
         import cv2
 

@@ -33,6 +33,10 @@ def _to_numpy(obj: Any) -> Any:
         pass
     if isinstance(obj, dict):
         return {k: _to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):
+        # namedtuple: the constructor takes positional fields, not an
+        # iterable (Lightning hparams / optimizer states contain these)
+        return type(obj)(*(_to_numpy(v) for v in obj))
     if isinstance(obj, (list, tuple)):
         return type(obj)(_to_numpy(v) for v in obj)
     return obj

@@ -293,6 +293,3 @@ class A2B:
                 "bias": jnp.asarray(bias),
             }
         return obj
-
-
-MODEL_DICT = {"a2b": A2B, "b2a": None}  # b2a filled in build.py

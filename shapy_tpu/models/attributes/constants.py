@@ -24,8 +24,12 @@ ATTRIBUTE_NAMES = {
     "male": list(MALE_ATTRIBUTES),
 }
 
-# Mean / std of self-reported minus measured value: men and women
-# overestimate height and underestimate weight (Spencer et al. 2002).
+# (magnitude, std) of the self-report error per Spencer et al. 2002:
+# height is OVERestimated by ~0.60/1.23 cm and weight UNDERestimated by
+# ~1.40/1.85 kg (women/men). Stored as positive magnitudes exactly like
+# the reference (constants.py:7-18), whose noise augmentation uses only
+# the std ([1]) for zero-mean noise (a2b.py:597-599) — apply your own
+# sign if you ever consume the means.
 SELF_REPORT_BIAS = {
     "female": {"weight": (1.40, 2.45), "height": (0.60, 2.68)},
     "male": {"weight": (1.85, 2.92), "height": (1.23, 2.57)},

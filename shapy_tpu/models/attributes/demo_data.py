@@ -36,7 +36,8 @@ class DemoS2AData:
         self.npz_files: Dict[str, list] = {"male": [], "female": []}
         self.betas: Dict[str, list] = {"male": [], "female": []}
         for fname in files:
-            fid = fname.split(".")[0]
+            # splitext, not split('.'): image ids may contain dots
+            fid = os.path.splitext(fname)[0]
             gender = self.ds_gender[fid]
             data = np.load(os.path.join(betas_folder, fname))
             self.betas[gender].append(np.asarray(data["betas"]))

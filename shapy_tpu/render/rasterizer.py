@@ -159,18 +159,28 @@ def render_mesh_overlay(
     faces: np.ndarray,
     transl: Optional[np.ndarray] = None,
     focal_length: float = DEFAULT_FOCAL_LENGTH,
+    camera_center: Optional[np.ndarray] = None,
     color: Tuple[float, float, float] = (0.65, 0.75, 0.95),
     alpha: float = 0.9,
     shading_mode: str = "smooth",
 ) -> np.ndarray:
-    """Blend a shaded mesh over an RGB image (reference OverlayRenderer)."""
+    """Blend a shaded mesh over an RGB image (reference HDRenderer
+    overlay, plot_utils.py:719-723: the camera's principal point is the
+    SUBJECT's bbox center, not the image center — the weak-perspective
+    translation only encodes the in-crop offset, so an off-center
+    detection rendered about (W/2, H/2) would be visibly displaced).
+    ``camera_center``: (cx, cy) in pixels; defaults to the image center.
+    """
     img = np.asarray(image, np.float32)
     H, W = img.shape[:2]
     v = np.asarray(vertices, np.float64)
     if transl is not None:
         v = v + np.asarray(transl).reshape(1, 3)
-    shading, mask = rasterize_mesh(v, faces, (H, W), focal_length,
-                                   shading_mode=shading_mode)
+    shading, mask = rasterize_mesh(
+        v, faces, (H, W), focal_length,
+        camera_center=(None if camera_center is None
+                       else np.asarray(camera_center).reshape(2)),
+        shading_mode=shading_mode)
     out = img.copy()
     tint = np.asarray(color, np.float32)[None, None] * shading[..., None]
     out[mask] = (1 - alpha) * out[mask] + alpha * tint[mask]

@@ -34,6 +34,14 @@ def deep_merge(base: Dict, override: Dict) -> Dict:
 
 
 def _parse_value(text: str) -> Any:
+    # OmegaConf's dotlist accepts YAML-style lowercase booleans/null;
+    # ast.literal_eval alone would keep them as truthy strings ('false'
+    # is True under bool()) and silently invert flag overrides.
+    low = text.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none", "~"):
+        return None
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):
@@ -49,8 +57,13 @@ def parse_dotlist(opts: Sequence[str]) -> Dict:
         key, value = opt.split("=", 1)
         node = result
         parts = key.split(".")
-        for p in parts[:-1]:
+        for i, p in enumerate(parts[:-1]):
             node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"--exp-opts {opt!r}: {'.'.join(parts[:i + 1])!r} "
+                    f"is a {type(node).__name__}, not a config section"
+                )
         node[parts[-1]] = _parse_value(value)
     return result
 

@@ -22,6 +22,22 @@ def get_logger(
 ) -> logging.Logger:
     logger = logging.getLogger(name)
     if logger.handlers:
+        # Already configured: still honour a newly-requested level /
+        # file sink instead of silently dropping them (a bare
+        # get_logger(__name__) at some module import would otherwise
+        # permanently lock the logger's configuration).
+        logger.setLevel(getattr(logging, level.upper(), logging.INFO))
+        if log_file and not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == os.path.abspath(
+                log_file)
+            for h in logger.handlers
+        ):
+            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            if logger.handlers[0].formatter is not None:
+                fh.setFormatter(logger.handlers[0].formatter)
+            logger.addHandler(fh)
         return logger
     try:
         import jax

@@ -25,11 +25,16 @@ class Timer:
         if self.sync:
             import jax
 
-            # Block until all dispatched device work is finished.
+            # Device execution is in-order per device stream, so
+            # enqueueing a trivial computation on each local device and
+            # blocking on it waits for everything dispatched before it —
+            # the cuda-synchronize equivalent. (Blocking on an arbitrary
+            # live array is NOT sufficient: it may already be
+            # materialised while later work is still running.)
             jax.effects_barrier()
-            for d in jax.live_arrays():
-                d.block_until_ready()
-                break
+            fence = jax.jit(lambda x: x + 1.0)
+            for d in jax.local_devices():
+                fence(jax.device_put(0.0, d)).block_until_ready()
 
     def __enter__(self) -> "Timer":
         self._synchronize()

@@ -166,3 +166,54 @@ def test_full_model_checkpoint_import(tmp_path):
     # The imported params still run
     out = reg.apply(new_params, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out["stage_01"]["betas"])).all()
+
+
+def test_parse_dotlist_yaml_booleans_and_errors():
+    """OmegaConf-style lowercase booleans/null must parse to real
+    Python values ('false' as a string is TRUTHY — review finding), and
+    traversing a scalar must raise a named error, not a TypeError."""
+    import pytest
+
+    from shapy_tpu.utils.config import parse_dotlist
+
+    d = parse_dotlist(["a.use_x=false", "a.use_y=true", "a.z=null",
+                       "a.keep=False"])
+    assert d["a"]["use_x"] is False
+    assert d["a"]["use_y"] is True
+    assert d["a"]["z"] is None
+    assert d["a"]["keep"] is False
+    with pytest.raises(ValueError, match="not a config section"):
+        parse_dotlist(["a=1", "a.b=2"])
+
+
+def test_to_numpy_namedtuple_roundtrip():
+    import collections
+
+    from shapy_tpu.io.torch_import import _to_numpy
+
+    Point = collections.namedtuple("Point", ["x", "y"])
+    import torch
+
+    p = Point(torch.ones(2), [torch.zeros(1)])
+    out = _to_numpy(p)
+    assert isinstance(out, Point)
+    assert np.asarray(out.x).shape == (2,)
+
+
+def test_get_logger_respects_late_file_sink(tmp_path):
+    import logging as pylog
+
+    from shapy_tpu.utils.logging import get_logger
+
+    name = "shapy_tpu.test_late_sink"
+    first = get_logger(name)  # console only
+    log_file = str(tmp_path / "run.log")
+    second = get_logger(name, log_file=log_file, level="DEBUG")
+    assert second is first
+    assert second.level == pylog.DEBUG
+    assert any(isinstance(h, pylog.FileHandler)
+               for h in second.handlers)
+    second.debug("hello-sink")
+    for h in second.handlers:
+        h.flush()
+    assert "hello-sink" in open(log_file).read()
