@@ -155,16 +155,14 @@ class Evaluator:
         if "gt_joints3d" in targets and "joints" in stage:
             gt = targets["gt_joints3d"]
             est = stage["joints"][:, : gt.shape[1]]
-            conf = gt[..., 3] if gt.shape[-1] > 3 else None
+            # The reference protocol drops the confidence channel and
+            # takes a plain mean over all mapped joints
+            # (evaluation.py:155-157 passes gt[:, :, :-1]; PointError
+            # never sees conf) — conf-weighting here would make the
+            # reported MPJPE incomparable to reference numbers.
             for name, pe in self.alignments.items():
                 err = pe(est, gt[..., :3])
-                if conf is not None:
-                    err = jnp.sum(err * conf, axis=-1) / jnp.maximum(
-                        jnp.sum(conf, axis=-1), 1e-6
-                    )
-                else:
-                    err = jnp.mean(err, axis=-1)
-                metrics[f"mpjpe_{name}"] = err
+                metrics[f"mpjpe_{name}"] = jnp.mean(err, axis=-1)
 
         meas = stage.get("measurements") or outputs.get("measurements")
         if meas is not None:

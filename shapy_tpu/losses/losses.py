@@ -3,7 +3,15 @@
 Behavioural spec: reference ``regressor/human_shape/losses/losses.py``
 (factory at :46-75) and ``losses/robustifiers.py`` — gmof (Geman-McClure),
 confidence-weighted keypoint losses, L2/weighted-L1 parameter losses,
-keypoint/vertex edge losses, rotation (Frobenius) loss.
+keypoint/vertex edge losses, geodesic rotation loss.
+
+Normalisation matches the reference exactly (loss-weight configs are
+calibrated against it): KeypointLoss divides by BATCH SIZE by default
+(division='batch', losses.py:178-180), never by sum(conf);
+WeightedMSELoss/WeightedL1Loss divide the total sum by batch size
+(:194-215); RotationDistance is the geodesic angle acos((tr-1)/2)
+(:350-368); VertexEdgeLoss is squared-L2 summed per item then
+batch-meaned (attributes/utils/losses.py:81-89).
 
 All losses are plain functions (loss, not modules); the factory returns a
 closure so configs keep working.
@@ -25,23 +33,19 @@ def gmof(x: Array, rho: float = 100.0) -> Array:
     return (rho * rho) * sq / (sq + rho * rho)
 
 
-def masked_mean(values: Array, weights: Optional[Array]) -> Array:
-    if weights is None:
-        return jnp.mean(values)
-    total = jnp.sum(weights)
-    return jnp.sum(values * weights) / jnp.maximum(total, 1e-8)
-
-
 def keypoint_loss(
     pred: Array,
     gt: Array,
     conf: Optional[Array] = None,
     norm_type: str = "l1",
     rho: float = 100.0,
+    division: str = "batch",
 ) -> Array:
-    """Confidence-weighted keypoint loss (losses.py KeypointLoss).
+    """Confidence-weighted keypoint loss (losses.py KeypointLoss:150-184).
 
     pred/gt: (B, N, D); conf: (B, N) confidence weights.
+    ``division``: 'batch' (reference default) divides the weighted sum
+    by B; 'visible' by 2 * the number of conf>0 keypoints.
     """
     diff = pred - gt
     if norm_type == "l1":
@@ -52,21 +56,33 @@ def keypoint_loss(
         per_kp = jnp.sum(gmof(diff, rho), axis=-1)
     else:
         raise ValueError(f"Unknown norm type: {norm_type}")
-    return masked_mean(per_kp, conf)
+    if conf is not None:
+        per_kp = per_kp * conf
+    if division == "batch":
+        return jnp.sum(per_kp) / pred.shape[0]
+    if division == "visible":
+        visible = (jnp.sum(conf > 0) if conf is not None
+                   else pred.shape[0] * pred.shape[1])
+        return jnp.sum(per_kp) / (2.0 * visible + 1e-9)
+    raise ValueError(f"Unknown division: {division}")
+
+
+def _batch_sum_loss(diff: Array, weights: Optional[Array]) -> Array:
+    """Reference WeightedMSELoss/WeightedL1Loss reduction
+    (losses.py:194-215): (weights[..., None] * diff).sum() / B."""
+    if weights is not None:
+        diff = diff * weights[..., None]
+    return jnp.sum(diff) / diff.shape[0]
 
 
 def l2_loss(pred: Array, gt: Array, weights: Optional[Array] = None
             ) -> Array:
-    per = jnp.sum((pred - gt) ** 2, axis=-1)
-    per = per.reshape(per.shape[0], -1).mean(axis=-1)
-    return masked_mean(per, weights)
+    return _batch_sum_loss((pred - gt) ** 2, weights)
 
 
 def weighted_l1_loss(pred: Array, gt: Array,
                      weights: Optional[Array] = None) -> Array:
-    per = jnp.abs(pred - gt)
-    per = per.reshape(per.shape[0], -1).mean(axis=-1)
-    return masked_mean(per, weights)
+    return _batch_sum_loss(jnp.abs(pred - gt), weights)
 
 
 def keypoint_edge_loss(
@@ -89,24 +105,41 @@ def keypoint_edge_loss(
 
 def vertex_edge_loss(
     pred_verts: Array, gt_verts: Array, edges,
+    norm_type: str = "l2",
 ) -> Array:
-    """Mesh edge-length/direction loss (attributes VertexEdgeLoss,
-    attributes/utils/losses.py:14)."""
+    """Mesh edge-vector loss (attributes VertexEdgeLoss,
+    attributes/utils/losses.py:15,81-89): squared-L2 by default, summed
+    over each item's edges then batch-meaned (the gt argument comes
+    FIRST in the reference; argument order here follows the repo's
+    pred-first convention with identical value — the diff is symmetric
+    under l1/l2)."""
     import numpy as np
 
     e = jnp.asarray(np.asarray(edges), jnp.int32)
     pe = pred_verts[:, e[:, 1]] - pred_verts[:, e[:, 0]]
     ge = gt_verts[:, e[:, 1]] - gt_verts[:, e[:, 0]]
-    return jnp.mean(jnp.sum(jnp.abs(pe - ge), axis=-1))
+    diff = pe - ge
+    per_elem = diff * diff if norm_type == "l2" else jnp.abs(diff)
+    B = pred_verts.shape[0]
+    return jnp.mean(jnp.sum(per_elem.reshape(B, -1), axis=-1))
 
 
 def rotation_loss(pred: Array, gt: Array,
-                  weights: Optional[Array] = None) -> Array:
-    """Frobenius distance between rotation matrices (losses.py
-    RotationDistance)."""
-    per = jnp.sum((pred - gt) ** 2, axis=(-1, -2))
-    per = per.reshape(per.shape[0], -1).mean(axis=-1)
-    return masked_mean(per, weights)
+                  weights: Optional[Array] = None,
+                  epsilon: float = 1e-7) -> Array:
+    """Geodesic rotation distance (losses.py RotationDistance:350-368):
+    acos(clip((trace(R_p^T R_g) - 1)/2)); unweighted -> sum / B,
+    weighted -> sum / (#weights > 0)."""
+    B = pred.shape[0]
+    p = pred.reshape(-1, 3, 3)
+    g = gt.reshape(-1, 3, 3)
+    tr = jnp.einsum("bij,bij->b", p, g)
+    theta = jnp.clip((tr - 1.0) * 0.5, -1.0 + epsilon, 1.0 - epsilon)
+    per = jnp.arccos(theta)
+    if weights is not None:
+        per = per.reshape(B, -1) * weights.reshape(B, -1)
+        return jnp.sum(per) / (jnp.sum(weights > 0) + epsilon)
+    return jnp.sum(per) / B
 
 
 def bce_loss(pred_logits: Array, gt: Array) -> Array:

@@ -20,11 +20,15 @@ Array = jax.Array
 
 
 def l2_prior(x: Array, *args, **kwargs) -> Array:
-    return jnp.sum(x * x) / x.shape[0]
+    """Reference L2Prior (priors.py:242-251): 0.5 * mean(x^2) over ALL
+    elements (reduction='mean' default), not a per-batch sum."""
+    return 0.5 * jnp.mean(x * x)
 
 
 def l1_prior(x: Array, *args, **kwargs) -> Array:
-    return jnp.sum(jnp.abs(x)) / x.shape[0]
+    """Reference L1Prior (priors.py:228-238): mean over leading dims of
+    the per-row sum over the LAST dim."""
+    return jnp.mean(jnp.sum(jnp.abs(x), axis=-1))
 
 
 def identity_prior(x: Array, *args, **kwargs) -> Array:

@@ -191,14 +191,21 @@ def lbs_fused_from_rotmats(
     B = betas.shape[0]
     V = packed["num_verts"]
 
-    # Joint regression needs v_shaped at the joints only; computed from
-    # the planar operands directly (small matmuls).
-    vsh = [
-        packed["vt_p"][:V, c][None] + (betas @ packed[k][:V].T)
-        for c, k in ((0, "sd_x"), (1, "sd_y"), (2, "sd_z"))
-    ]
-    v_shaped = jnp.stack(vsh, axis=-1)  # (B, V, 3)
-    joints = jnp.einsum("jv,bvk->bjk", joints_regressor, v_shaped)
+    # Joint regression needs v_shaped at the J joints only: contract the
+    # regressor into the template/shapedirs FIRST ((J,V)@(V,L) once per
+    # call, constant-foldable under jit) instead of materialising the
+    # full (B, V, 3) v_shaped in XLA — that would redo the exact HBM
+    # intermediate the fused kernel exists to avoid, ~V/J (~190x) more
+    # work for this step.
+    jr = joints_regressor.astype(betas.dtype)  # (J, V)
+    joints = jnp.stack(
+        [
+            (jr @ packed["vt_p"][:V, c])[None]
+            + betas @ (jr @ packed[k][:V]).T
+            for c, k in ((0, "sd_x"), (1, "sd_y"), (2, "sd_z"))
+        ],
+        axis=-1,
+    )  # (B, J, 3)
 
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)

@@ -61,6 +61,45 @@ def repulsion_intensity(x: Array, sigma: float = 0.5,
     )
 
 
+def conical_distance_field(
+    points: Array,
+    cone_center: Array,
+    cone_radius: Array,
+    cone_axis: Array,
+    sigma: float = 0.5,
+    penalize_outside: bool = True,
+    linear_max: float = 1000.0,
+    epsilon: float = 1e-6,
+) -> Array:
+    """Reference ``conical_distance_field`` (loss.py:127-198), vectorized
+    branch EXACTLY — including its observable quirk: the vectorized path
+    squares the field INSIDE (``(mask * ((1-d) * r)^2)``) and AGAIN at
+    the return (``.pow(2)``), yielding ((1-axis_dist) * intensity)^4 per
+    vertex where the iterative branch yields only ^2. vectorized=True is
+    the reference default, so parity means reproducing the ^4.
+
+    points: (B, C, N, 3); cone_center (B, C, 3); cone_radius (B, C, 1);
+    cone_axis (B, C, 3) unit. Returns (B, C, N).
+    """
+    rel = points - cone_center[..., None, :]
+    dot = jnp.einsum("bcvk,bck->bcv", rel, cone_axis)
+    # dist_to_cone_axis (loss.py:84-124): projection distance to the
+    # axis over the cone radius at that height; denominator + epsilon
+    # (unconditionally, like the reference).
+    perp = rel - dot[..., None] * cone_axis[..., None, :]
+    numerator = jnp.linalg.norm(perp, axis=-1)
+    denominator = -cone_radius / sigma * dot + cone_radius
+    axis_dist = numerator / (denominator + epsilon)
+
+    intensity = repulsion_intensity(
+        dot, sigma=sigma, penalize_outside=penalize_outside,
+        linear_max=linear_max,
+    )
+    mask = (axis_dist < 1.0).astype(points.dtype)
+    field = mask * ((1.0 - axis_dist) * intensity) ** 2
+    return field ** 2
+
+
 def repulsion_loss(
     triangles: Array,
     collision_idxs: Array,
@@ -68,12 +107,17 @@ def repulsion_loss(
     penalize_outside: bool = True,
     linear_max: float = 1000.0,
 ) -> Array:
-    """Penetration penalty.
+    """Penetration penalty (loss.py DistanceFieldPenetrationLoss:270-317).
 
     triangles: (B, F, 3, 3); collision_idxs: (B, C, 2) int
     (receiver, intruder) pairs, -1-padded. Returns (B,) losses.
-    """
-    B = triangles.shape[0]
+
+    Mirrors the reference forward exactly: BOTH cone fields are summed —
+    intruder vertices against the receiver's cone (phi_receivers) AND
+    receiver vertices against the intruder's cone (phi_intruders,
+    loss.py:284-293) — and each per-vertex field value is squared once
+    more in the loss (the point2plane and point-to-normal branches are
+    numerically identical for unit normals, loss.py:303-310)."""
     valid = jnp.all(collision_idxs >= 0, axis=-1)  # (B, C)
     recv_idx = jnp.maximum(collision_idxs[..., 0], 0)
     intr_idx = jnp.maximum(collision_idxs[..., 1], 0)
@@ -87,35 +131,26 @@ def repulsion_loss(
         axis=1,
     )
 
-    normal = jnp.cross(
-        recv[..., 1, :] - recv[..., 0, :], recv[..., 2, :] - recv[..., 0, :]
-    )
-    axis = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
-    )
-    radius, center = circumcircle(recv)
+    def cone(tri):
+        normal = jnp.cross(
+            tri[..., 1, :] - tri[..., 0, :], tri[..., 2, :] - tri[..., 0, :]
+        )
+        axis = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+        )
+        radius, center = circumcircle(tri)
+        return axis, radius, center
 
-    # Intruder vertices relative to the cone center
-    rel = intr - center[..., None, :]  # (B, C, 3verts, 3)
-    dot = jnp.einsum("bcvk,bck->bcv", rel, axis)  # height along axis
+    recv_axis, recv_radius, recv_center = cone(recv)
+    intr_axis, intr_radius, intr_center = cone(intr)
 
-    # Distance to the cone axis, normalised by the local cone radius
-    # (loss.py dist_to_cone_axis): <1 inside, 1 on surface, >1 outside.
-    perp = rel - dot[..., None] * axis[..., None, :]
-    numerator = jnp.linalg.norm(perp, axis=-1)
-    denominator = -radius / sigma * dot + radius
-    axis_dist = numerator / jnp.where(
-        jnp.abs(denominator) > 1e-6, denominator, 1e-6
+    phi_receivers = conical_distance_field(
+        intr, recv_center, recv_radius, recv_axis, sigma=sigma,
+        penalize_outside=penalize_outside, linear_max=linear_max,
     )
-
-    # Height within the cone: penalise vertices below the surface
-    # (negative dot) whose axis distance is < 1.
-    inside = (axis_dist < 1.0) & (dot < 0) & (dot > -linear_max)
-    intensity = repulsion_intensity(
-        dot, sigma=sigma, penalize_outside=penalize_outside,
-        linear_max=linear_max,
+    phi_intruders = conical_distance_field(
+        recv, intr_center, intr_radius, intr_axis, sigma=sigma,
+        penalize_outside=penalize_outside, linear_max=linear_max,
     )
-    per_pair = jnp.sum(
-        jnp.where(inside, intensity, 0.0), axis=-1
-    )  # (B, C)
+    per_pair = jnp.sum(phi_receivers**2 + phi_intruders**2, axis=-1)
     return jnp.sum(jnp.where(valid, per_pair, 0.0), axis=-1)

@@ -87,13 +87,24 @@ def point_to_barycentric(tri: Array, p: Array) -> Array:
     return jnp.stack([1.0 - v - w, v, w], axis=-1)
 
 
-def _pairs_intersect(query_tri: Array, target_tris: Array):
+def _pairs_intersect(query_tri: Array, target_tris: Array,
+                     target_geom=None):
     """One query triangle (3, 3) against all targets (F, 3, 3).
+
+    ``target_geom``: optional precomputed (nt, dt, tmin, tmax) for the
+    target mesh — hoisted out of the per-query loop by the caller (the
+    planes and AABBs are query-independent; recomputing them inside
+    lax.map would redo O(F) work Q times).
 
     Returns (valid (F,), endpoints (F, 2, 3)).
     """
     nq, dq = _plane(query_tri)
-    nt, dt = _plane(target_tris)
+    if target_geom is None:
+        nt, dt = _plane(target_tris)
+        tmin = jnp.min(target_tris, axis=1)
+        tmax = jnp.max(target_tris, axis=1)
+    else:
+        nt, dt, tmin, tmax = target_geom
 
     # Signed distances
     dist_t = jnp.einsum("k,fvk->fv", nq, target_tris) + dq  # (F, 3)
@@ -119,8 +130,6 @@ def _pairs_intersect(query_tri: Array, target_tris: Array):
     # mask keeps degenerate data out of the outputs).
     qmin = jnp.min(query_tri, axis=0)
     qmax = jnp.max(query_tri, axis=0)
-    tmin = jnp.min(target_tris, axis=1)
-    tmax = jnp.max(target_tris, axis=1)
     boxes = jnp.all((tmin <= qmax) & (tmax >= qmin), axis=-1)
     valid = valid & boxes
 
@@ -147,9 +156,12 @@ def mesh_mesh_intersection(
 
     def per_batch(args):
         q_tris, t_tris = args
+        nt, dt = _plane(t_tris)
+        tgeom = (nt, dt,
+                 jnp.min(t_tris, axis=1), jnp.max(t_tris, axis=1))
 
         def per_query(q_tri):
-            valid, endpoints = _pairs_intersect(q_tri, t_tris)
+            valid, endpoints = _pairs_intersect(q_tri, t_tris, tgeom)
             # Top-k compaction of valid target faces
             score = valid.astype(jnp.float32)
             k = min(max_collisions, F)

@@ -482,3 +482,21 @@ def randomize_state_dict(module: nn.Module, seed: int = 0) -> None:
 
 def state_dict_numpy(module: nn.Module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def load_ref_mesh_loss():
+    """The mesh-mesh-intersection package's penetration loss (pure
+    torch — no CUDA extension needed for the loss module itself)."""
+    setup()
+    return _load_file(
+        "mesh_mesh_intersection_loss",
+        "mesh-mesh-intersection/mesh_mesh_intersection/loss.py",
+    )
+
+
+def load_ref_losses():
+    setup()
+    return _load_file(
+        "human_shape.losses.losses",
+        "regressor/human_shape/losses/losses.py",
+    )

@@ -605,3 +605,89 @@ def test_crop_warp_parity(rng):
     got = crop_image(ramp, np.asarray([50.0, 60.0]), 0.35, res, rot_deg=0)
     assert abs(float(ref[0, 0, 0]) - float(got[0, 0, 0])) < 0.1
     assert abs(float(ref[-1, -1, 0]) - float(got[-1, -1, 0])) < 0.1
+
+
+def test_loss_normalisation_parity(rng):
+    """The loss-weight configs are calibrated against the reference's
+    exact reductions — value parity for KeypointLoss (division='batch'),
+    WeightedMSELoss/WeightedL1Loss (sum / B), the geodesic
+    RotationDistance, L2Prior (0.5 * mean), and the attributes
+    VertexEdgeLoss (squared-L2, per-item sum, batch mean)."""
+    import torch
+
+    from shapy_tpu.losses.losses import (
+        keypoint_loss, l2_loss, rotation_loss, vertex_edge_loss,
+        weighted_l1_loss)
+    from shapy_tpu.losses.priors import l2_prior
+
+    ref = rc.load_ref_losses()
+
+    B, N, D = 3, 25, 2
+    pred = rng.normal(size=(B, N, D)).astype(np.float32)
+    gt = rng.normal(size=(B, N, D)).astype(np.float32)
+    conf = rng.uniform(0, 1, size=(B, N)).astype(np.float32)
+    conf[0, :5] = 0.0
+
+    for norm_type in ("l1", "l2"):
+        kl = ref.KeypointLoss(norm_type=norm_type)  # division='batch'
+        want = kl(torch.tensor(pred), torch.tensor(gt),
+                  weights=torch.tensor(conf)).item()
+        got = float(keypoint_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                  jnp.asarray(conf),
+                                  norm_type=norm_type))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    betas_p = rng.normal(size=(B, 10)).astype(np.float32)
+    betas_g = rng.normal(size=(B, 10)).astype(np.float32)
+    want = ref.WeightedMSELoss()(
+        torch.tensor(betas_p), torch.tensor(betas_g)).item()
+    got = float(l2_loss(jnp.asarray(betas_p), jnp.asarray(betas_g)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    want = ref.WeightedL1Loss()(
+        torch.tensor(betas_p), torch.tensor(betas_g)).item()
+    got = float(weighted_l1_loss(jnp.asarray(betas_p),
+                                 jnp.asarray(betas_g)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # weighted variants
+    w = rng.uniform(0, 1, size=(B,)).astype(np.float32)
+    want = ref.WeightedMSELoss()(
+        torch.tensor(betas_p), torch.tensor(betas_g),
+        weights=torch.tensor(w)).item()
+    got = float(l2_loss(jnp.asarray(betas_p), jnp.asarray(betas_g),
+                        jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # rotation: random rotations via axis-angle exponentials
+    from shapy_tpu.core.rotations import aa_to_rotmat
+
+    J = 4
+    aa_p = rng.normal(size=(B, J, 3)).astype(np.float32) * 0.7
+    aa_g = rng.normal(size=(B, J, 3)).astype(np.float32) * 0.7
+    Rp = np.asarray(aa_to_rotmat(jnp.asarray(aa_p)))
+    Rg = np.asarray(aa_to_rotmat(jnp.asarray(aa_g)))
+    want = ref.RotationDistance()(
+        torch.tensor(Rp), torch.tensor(Rg)).item()
+    got = float(rotation_loss(jnp.asarray(Rp), jnp.asarray(Rg)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    # L2Prior
+    priors = rc.load_ref_priors()
+    x = rng.normal(size=(B, 63)).astype(np.float32)
+    want = priors.L2Prior()(torch.tensor(x)).item()
+    got = float(l2_prior(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # VertexEdgeLoss (attributes package; pure-torch module)
+    mesh_losses = rc._load_file(
+        "attributes_utils_losses", "attributes/attributes/utils/losses.py"
+    )
+    V, E = 30, 50
+    verts_g = rng.normal(size=(B, V, 3)).astype(np.float32)
+    verts_p = rng.normal(size=(B, V, 3)).astype(np.float32)
+    edges = rng.integers(0, V, size=(E, 2)).astype(np.int64)
+    vel = mesh_losses.VertexEdgeLoss(
+        norm_type="l2", gt_edges=edges, est_edges=edges)
+    want = vel(torch.tensor(verts_g), torch.tensor(verts_p)).item()
+    got = float(vertex_edge_loss(jnp.asarray(verts_p),
+                                 jnp.asarray(verts_g), edges))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -105,12 +105,41 @@ def test_repulsion_loss_detects_penetration():
     loss2 = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs))
     assert float(loss2[0]) > float(loss[0])
 
-    # Intruder ABOVE the receiver surface (outside, positive side): zero
+    # Intruder ABOVE the receiver surface: small but NONZERO with
+    # penalize_outside=True — the symmetric intruder-cone term
+    # (loss.py:284-293) sees the receiver below ITS surface (verified
+    # against the reference torch module: 0.0195 for this geometry).
+    # Far smaller than deep penetration.
     tris[0, 1, :, 2] = 1.0
     loss_above = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs))
-    assert float(loss_above[0]) == 0.0
+    assert 0.0 < float(loss_above[0]) < float(loss2[0]) * 1e-2
 
     # All-padded pairs: zero
     pairs_empty = np.full((1, 2, 2), -1, np.int32)
     loss3 = repulsion_loss(jnp.asarray(tris), jnp.asarray(pairs_empty))
     assert float(loss3[0]) == 0.0
+
+
+def test_repulsion_loss_matches_reference_torch():
+    """Value parity with the ACTUAL reference DistanceFieldPenetrationLoss
+    (mesh-mesh-intersection/loss.py, vectorized default) on random
+    triangles and collision pairs — including the symmetric intruder-cone
+    term and the vectorized path's double squaring."""
+    import torch
+
+    from tests.reference_compat import load_ref_mesh_loss
+
+    ref = load_ref_mesh_loss()
+    rng = np.random.default_rng(11)
+    B, F, C = 2, 12, 5
+    tris = rng.normal(size=(B, F, 3, 3)).astype(np.float32)
+    pairs = rng.integers(0, F, size=(B, C, 2)).astype(np.int64)
+    pairs[0, -1] = (-1, -1)  # padded pair must contribute zero
+
+    ref_loss = ref.DistanceFieldPenetrationLoss(
+        sigma=0.5, point2plane=False, vectorized=True,
+        penalize_outside=True)
+    want = ref_loss(torch.tensor(tris), torch.tensor(pairs)).numpy()
+    got = np.asarray(repulsion_loss(
+        jnp.asarray(tris), jnp.asarray(pairs.astype(np.int32))))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
