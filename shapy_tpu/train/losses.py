@@ -79,6 +79,9 @@ class RegressorLosses:
             k: float((body.get(k) or {}).get("weight", 0.0))
             for k in ("mass", "height", "chest", "waist", "hips")
         }
+        self.w_identity = float(
+            (body.get("identity") or {}).get("weight", 0.0)
+        )
         self.w_beta_refined = float(
             (body.get("beta_refined") or {}).get("weight", 0.0)
         )
@@ -175,6 +178,29 @@ class RegressorLosses:
                                 err) / denom
                         else:
                             losses[f"{name}{suffix}"] = w * jnp.mean(err)
+
+            if self.w_identity > 0 and "identity" in batch:
+                # Identity consistency: betas of the SAME person in the
+                # batch pulled together (the ModelAgency multi-image
+                # signal; openpose_tracks provides the ids). The
+                # reference declares this loss (iterative_regressor.py
+                # :500-533) but its pair indexing is broken when
+                # enabled (it compares betas[first_pair] against the
+                # raw index tensor `pairs[[1]]`) and every shipped
+                # config has identity weight 0 — this is the intended
+                # semantics, branch-free: mean squared beta difference
+                # over all same-identity pairs (ids < 0 are ignored).
+                ids = batch["identity"].reshape(-1)
+                betas = stage["betas"]
+                same = (ids[:, None] == ids[None, :]) & (ids >= 0)[:, None]
+                iu = jnp.triu(same, k=1).astype(betas.dtype)
+                d2 = jnp.sum(
+                    (betas[:, None] - betas[None, :]) ** 2, axis=-1
+                )
+                losses[f"identity{suffix}"] = (
+                    self.w_identity * jnp.sum(iu * d2)
+                    / jnp.maximum(jnp.sum(iu), 1.0)
+                )
 
             if (self.w_beta_refined > 0 and "betas_ref" in stage):
                 losses[f"beta_refined{suffix}"] = (

@@ -364,3 +364,29 @@ def test_init_train_state_does_not_alias_regressor_params(tiny_regressor):
         "TrainState.params aliases regressor.params — donation would "
         "invalidate the regressor's arrays"
     )
+
+
+def test_identity_consistency_loss(tiny_regressor):
+    """Same-identity batch items pull their betas together; distinct or
+    invalid (-1) ids contribute nothing."""
+    B = 4
+    batch, _ = make_batch(B)
+    batch["identity"] = jnp.asarray([7, 7, 3, -1])
+    out = tiny_regressor(jnp.zeros((B, 64, 64, 3)), batch=batch)
+    losses = RegressorLosses(
+        {"body": {"identity": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}}
+    )(out, batch)
+    key = "identity_stage_01" if "identity_stage_01" in losses \
+        else "identity"
+    betas = out["stage_01"]["betas"]
+    want = float(jnp.sum((betas[0] - betas[1]) ** 2))
+    np.testing.assert_allclose(float(losses[key]), want, rtol=1e-5)
+
+    # no duplicate identities -> zero loss
+    batch["identity"] = jnp.asarray([1, 2, 3, -1])
+    losses2 = RegressorLosses(
+        {"body": {"identity": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}}
+    )(out, batch)
+    assert float(losses2[key]) == 0.0
