@@ -22,7 +22,7 @@ import numpy as np
 
 from shapy_tpu.losses.losses import (
     keypoint_loss,
-    mse_loss,
+    l2_loss,
     rotation_loss,
     weighted_l1_loss,
 )
@@ -202,20 +202,21 @@ class RegressorLosses:
                     / jnp.maximum(jnp.sum(iu), 1.0)
                 )
 
+            # Refined-target losses (reference use_a2b block,
+            # iterative_regressor.py:560-576): l2 with the reference's
+            # sum/B reduction, and NO stop_gradient — the loss is
+            # symmetric in the reference, so the attribute head also
+            # receives gradient through the (frozen) A2B mapping.
             if (self.w_beta_refined > 0 and "betas_ref" in stage):
                 losses[f"beta_refined{suffix}"] = (
                     self.w_beta_refined
-                    * mse_loss(stage["betas"],
-                               jax.lax.stop_gradient(stage["betas_ref"]))
+                    * l2_loss(stage["betas"], stage["betas_ref"])
                 )
             if (self.w_vertex_refined > 0 and "v_shaped_ref" in stage
                     and "v_shaped" in stage):
                 losses[f"vertex_refined{suffix}"] = (
                     self.w_vertex_refined
-                    * jnp.mean(jnp.abs(
-                        stage["v_shaped"]
-                        - jax.lax.stop_gradient(stage["v_shaped_ref"])
-                    ))
+                    * l2_loss(stage["v_shaped"], stage["v_shaped_ref"])
                 )
 
         # Attribute loss: predicted B2A attributes vs annotated ratings
@@ -226,14 +227,18 @@ class RegressorLosses:
             valid = batch.get("attributes_valid")
             pred = out["attributes"]
             err = (pred - gt) ** 2
+            # Reference semantics (iterative_regressor.py:540-544 with
+            # WeightedMSELoss): total squared error over the valid rows
+            # divided by the number of valid rows — NOT by row*dim.
             if valid is not None:
                 v = valid.reshape(-1, 1)
                 err = jnp.where(v > 0, err, 0.0)
-                denom = jnp.maximum(jnp.sum(v) * gt.shape[-1], 1e-6)
-                losses["attributes"] = self.w_attributes * jnp.sum(
-                    err) / denom
+                denom = jnp.maximum(jnp.sum(v), 1e-6)
             else:
-                losses["attributes"] = self.w_attributes * jnp.mean(err)
+                denom = err.shape[0]
+            losses["attributes"] = (
+                self.w_attributes * jnp.sum(err) / denom
+            )
 
         losses["total"] = sum(
             v for k, v in losses.items() if k != "total"
