@@ -108,8 +108,22 @@ def main(
         anchors = MeasurementAnchors.synthetic(
             body.faces, np.asarray(body.params["v_template"]))
         meas = BodyMeasurements(anchors=anchors)
-        gt_faces = fit_faces = body.faces
-        meas_fit = meas
+        gt_faces = body.faces
+        if model_type == "smplx":
+            fit_faces = body.faces
+            meas_fit = meas
+        else:
+            from shapy_tpu.models.body import build_body_model
+
+            fit_body = build_body_model(
+                model_type,
+                model_data=make_synthetic_model_data(
+                    model_type, subdivisions=5))
+            fit_faces = fit_body.faces
+            meas_fit = BodyMeasurements(
+                anchors=MeasurementAnchors.synthetic(
+                    fit_body.faces,
+                    np.asarray(fit_body.params["v_template"])))
     else:
         meas = BodyMeasurements(
             model_type="smplx",
@@ -124,7 +138,20 @@ def main(
         body = SMPLX(model_folder=(
             body_model_folder
             or os.path.join(hbw_folder, "body_models")))
-        gt_faces = fit_faces = body.faces
+        gt_faces = body.faces
+        if model_type == "smplx":
+            fit_faces = body.faces
+        else:
+            # SMPL submissions index an SMPL-topology mesh — gathering
+            # with SMPL-X faces would silently clamp out-of-range vertex
+            # ids and corrupt every measurement/P2P number.
+            from shapy_tpu.models.body import build_body_model
+
+            fit_body = build_body_model(
+                model_type,
+                model_folder=(body_model_folder
+                              or os.path.join(hbw_folder, "body_models")))
+            fit_faces = fit_body.faces
 
     def gt_lookup(label: str) -> np.ndarray:
         split, subject = label.split("/")[:2]

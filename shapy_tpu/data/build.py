@@ -94,7 +94,6 @@ def _aa_to_rotmat_np(aa: np.ndarray) -> np.ndarray:
 def collate_batch(
     samples: Sequence[Optional[Dict]],
     target_keypoint_names: Optional[Sequence[str]] = None,
-    crop_size: int = 256,
     num_betas: int = 10,
     num_attributes: int = 15,
 ) -> Optional[Dict[str, np.ndarray]]:
@@ -457,20 +456,12 @@ def build_all_data_loaders(
 
             sampler = shard_sampler_by_process(sampler)
 
-        def make_collate():
-            return lambda samples: collate_batch(
-                samples,
-                target_keypoint_names=target_keypoint_names,
-                crop_size=int(
-                    dict(part_cfg.get("transforms") or {}).get(
-                        "crop_size", 256)
-                ),
-            )
-
         loaders[part] = DataLoader(
             datasets,
             sampler,
-            make_collate(),
+            lambda samples: collate_batch(
+                samples, target_keypoint_names=target_keypoint_names,
+            ),
             num_workers=int(
                 dict(part_cfg.get("num_workers") or {}).get(split, 2)
                 if isinstance(part_cfg.get("num_workers"), dict)

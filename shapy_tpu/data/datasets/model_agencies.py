@@ -81,6 +81,11 @@ class ModelAgencyDataset:
             if only_data_with_attributes and not annot.get("attributes"):
                 continue
             for img_fname, kp in (annot.get("images") or {}).items():
+                if kp is None:
+                    # The annotations.json schema allows null keypoints
+                    # for un-detected images; np.asarray(None) in
+                    # __getitem__ would kill the loader worker.
+                    continue
                 self.items.append(
                     {
                         "model_key": model_key,

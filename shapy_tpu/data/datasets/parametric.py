@@ -72,7 +72,12 @@ class ParametricFitsDataset:
             "keypoints2d", "joints3d", "expression", "vertices",
             "left_hand_pose", "right_hand_pose",
         ]
-        data: Dict[str, list] = {k: [] for k in fields}
+        # Two passes so fields present in only SOME archives stay
+        # row-aligned: naive per-field concatenation would silently map
+        # archive B's joints3d rows onto archive A's images (wrong 3D
+        # supervision) and crash for the tail indices. Missing blocks
+        # are NaN-filled and masked out via <field>_present.
+        archives = []
         for fname in npz_files:
             if not fname:
                 continue
@@ -81,19 +86,34 @@ class ParametricFitsDataset:
             )
             with np.load(os.path.expandvars(path),
                          allow_pickle=True) as d:
-                n = len(d["imgname"])
-                for k in fields:
-                    if k in d:
-                        data[k].append(np.asarray(d[k]))
-                    elif k == "gender":
-                        data[k].append(np.asarray(["neutral"] * n))
-        self.data = {
-            k: (np.concatenate(v) if v else None)
-            for k, v in data.items()
-        }
+                archives.append({k: np.asarray(d[k]) for k in fields
+                                 if k in d})
+        self.data = {}
+        self.present = {}
+        for k in fields:
+            proto = next((a[k] for a in archives if k in a), None)
+            if proto is None and k != "gender":
+                self.data[k] = None
+                continue
+            blocks, mask = [], []
+            for a in archives:
+                n = len(a["imgname"])
+                if k in a:
+                    blocks.append(a[k])
+                    mask.append(np.ones(n, bool))
+                elif k == "gender":
+                    blocks.append(np.asarray(["neutral"] * n))
+                    mask.append(np.ones(n, bool))
+                else:
+                    blocks.append(np.full(
+                        (n,) + proto.shape[1:], np.nan, np.float32))
+                    mask.append(np.zeros(n, bool))
+            self.data[k] = np.concatenate(blocks) if blocks else None
+            self.present[k] = (np.concatenate(mask) if mask
+                               else np.zeros(0, bool))
         self.num_items = (
-            len(self.data["imgname"]) if self.data["imgname"] is not None
-            else 0
+            len(self.data["imgname"]) if self.data.get("imgname")
+            is not None else 0
         )
 
         # SPIN-family archives come in two keypoint layouts: the bare
@@ -147,27 +167,33 @@ class ParametricFitsDataset:
             "fname": os.path.basename(str(self.data["imgname"][index])),
             "gender": gender,
             "gender_int": GENDER_TO_INT.get(gender.lower()[:1], 0),
-            "gt_pose_aa": np.asarray(self.data["pose"][index],
-                                     np.float32),
             "index": index,
         }
-        if self.data["keypoints2d"] is not None:
+        if (self.data.get("pose") is not None
+                and bool(self.present["pose"][index])):
+            sample["gt_pose_aa"] = np.asarray(
+                self.data["pose"][index], np.float32)
+        def has(k):
+            return (self.data[k] is not None
+                    and bool(self.present[k][index]))
+
+        if has("keypoints2d"):
             sample["keypoints2d"] = np.asarray(
                 self.data["keypoints2d"][index], np.float32
             )
-        if self.return_shape and self.data["shape"] is not None:
+        if self.return_shape and has("shape"):
             sample["gt_betas"] = np.asarray(
                 self.data["shape"][index], np.float32
             )
-        if self.return_expression and self.data["expression"] is not None:
+        if self.return_expression and has("expression"):
             sample["gt_expression"] = np.asarray(
                 self.data["expression"][index], np.float32
             )
-        if self.return_vertices and self.data["vertices"] is not None:
+        if self.return_vertices and has("vertices"):
             sample["gt_vertices"] = np.asarray(
                 self.data["vertices"][index], np.float32
             )
-        if self.data["joints3d"] is not None:
+        if has("joints3d"):
             sample["joints3d"] = np.asarray(
                 self.data["joints3d"][index], np.float32
             )

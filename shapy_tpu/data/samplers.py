@@ -30,6 +30,10 @@ def weights_to_probabilities(values: np.ndarray, num_bins: int = 10
         )
         inv = 1.0 / np.maximum(hist[bin_idx], 1)
         probs[valid] = inv
+        # NaN rows get the MEAN of the valid inverse weights — the same
+        # scale; the former raw 1/N would under- or over-sample
+        # unannotated rows depending on dataset size.
+        probs[~valid] = inv.mean()
     probs /= probs.sum()
     return probs
 
@@ -91,6 +95,39 @@ class EqualSampler:
             yield idxs
 
 
+def _dataset_values(d, key: str) -> np.ndarray:
+    """Per-item importance values ('weight' kg / 'bmi') without decoding
+    any images: a dataset-level array attribute if present, else the
+    per-item metadata dicts (ModelAgencyDataset.items). Missing values
+    become NaN (mean-probability rows in the histogram weighting)."""
+    attr = getattr(d, key, None)
+    if attr is not None and not callable(attr):
+        return np.asarray(attr, np.float64)
+    items = getattr(d, "items", None)
+    if items is not None:
+        def one(it):
+            if key == "bmi":
+                w, h = it.get("weight"), it.get("height")
+                return (float(w) / float(h) ** 2
+                        if w is not None and h not in (None, 0) else np.nan)
+            v = it.get(key)
+            return float(v) if v is not None else np.nan
+        return np.asarray([one(it) for it in items], np.float64)
+    return np.full(len(d), np.nan)
+
+
+def _dataset_genders(d) -> np.ndarray:
+    for attr in ("gender", "genders"):
+        v = getattr(d, attr, None)
+        if v is not None and not callable(v):
+            return np.asarray(v)
+    items = getattr(d, "items", None)
+    if items is not None:
+        return np.asarray(
+            [str(it.get("gender") or "neutral") for it in items])
+    return np.asarray(["neutral"] * len(d))
+
+
 class ShapeSampler:
     """Importance sampling by weight/BMI histogram + gender balancing."""
 
@@ -108,11 +145,9 @@ class ShapeSampler:
         start = 0
         self.length = 0
         for d in datasets:
-            values = np.asarray(getattr(d, importance_key))
+            values = _dataset_values(d, importance_key)
             all_probs.append(weights_to_probabilities(values))
-            genders = np.asarray(getattr(d, "gender", getattr(
-                d, "genders", ["neutral"] * len(d))))
-            all_genders.append(genders.astype(str))
+            all_genders.append(_dataset_genders(d).astype(str))
             start += len(d)
             self.length += len(d)
         # Normalise across datasets proportionally to their size

@@ -263,13 +263,14 @@ class ExtremeBodyCrop:
 
     def __init__(self, prob: float = 0.0, torso_upper_body_prob: float = 0.5,
                  fmt: str = "openpose25_v1"):
-        from shapy_tpu.data.keypoints import get_part_idxs
-
         self.prob = prob
         self.torso_prob = torso_upper_body_prob
-        parts = get_part_idxs(fmt)
-        self.torso_idxs = parts["torso"]
-        self.upper_idxs = parts["upper"]
+        self.fmt = fmt
+
+    def _parts(self, fmt: str):
+        from shapy_tpu.data.keypoints import get_part_idxs
+
+        return get_part_idxs(fmt)
 
     def __call__(self, sample: Sample, rng) -> Sample:
         if self.prob <= 0 or rng.uniform() > self.prob:
@@ -277,10 +278,18 @@ class ExtremeBodyCrop:
         kp = sample.get("keypoints2d")
         if kp is None:
             return sample
+        # Resolve part indices in the SAMPLE's keypoint format (like
+        # RandomHorizontalFlip): the pose stream mixes 49/24-row spin
+        # layouts with the pipeline-level openpose format, whose part
+        # indices would be out of range here.
+        parts = self._parts(str(sample.get("keypoint_format", self.fmt)))
         idxs = (
-            self.torso_idxs if rng.uniform() < self.torso_prob
-            else self.upper_idxs
+            parts["torso"] if rng.uniform() < self.torso_prob
+            else parts["upper"]
         )
+        idxs = [i for i in idxs if i < kp.shape[0]]
+        if not idxs:
+            return sample
         part = kp[idxs]
         valid = part[part[:, 2] > 0]
         if len(valid) < 4:
@@ -310,6 +319,21 @@ class Crop:
         self.scale_factor_min = scale_factor_min
         self.scale_factor_max = scale_factor_max
         self.return_full_imgs = return_full_imgs
+        if (is_train and scale_factor > 0 and scale_dist != "normal"
+                and scale_factor_min == 1.0 and scale_factor_max == 1.0):
+            # Same trap as the reference (transforms.py:520-533):
+            # scale_factor only takes effect under scale_dist='normal';
+            # 'uniform' draws from [min, max] which default to (1, 1).
+            # The reference's shipped configs always pair
+            # scale_factor: 0.25 with scale_dist: 'normal'. Warn loudly
+            # instead of silently skipping the configured augmentation.
+            import warnings
+
+            warnings.warn(
+                f"scale_factor={scale_factor} has NO effect with "
+                "scale_dist='uniform' and default bounds (1, 1); set "
+                "scale_dist: normal (as the reference configs do) or "
+                "scale_factor_min/max", stacklevel=2)
 
     def __call__(self, sample: Sample, rng) -> Sample:
         scale = float(sample["scale"])
@@ -345,6 +369,37 @@ class Crop:
             norm = np.array(kp, copy=True)
             norm[:, :2] = 2.0 * norm[:, :2] / self.crop_size - 1.0
             sample["target_keypoints2d"] = norm.astype(np.float32)
+        if rot != 0.0:
+            # Rotation augmentation must rotate the CAMERA-FRAME 3D
+            # supervision too, or the 3D losses fight the rotated 2D
+            # keypoints by the augmentation angle. Reference semantics:
+            # R_z(-rot) applied to 3D joints (structures/keypoints.py
+            # :432-445), to posed GT vertices (vertices.py:85-104), and
+            # to the global-orient row of the axis-angle pose via
+            # Rodrigues (global_rot.py:54-67). The canonical-shape
+            # fields (v_shaped) are pose-independent and stay put.
+            import cv2
+
+            c, s = (np.cos(np.deg2rad(-rot)), np.sin(np.deg2rad(-rot)))
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            j3d = sample.get("joints3d")
+            if j3d is not None:
+                j3d = np.array(j3d, np.float32, copy=True)
+                j3d[:, :3] = j3d[:, :3] @ R.T
+                sample["joints3d"] = j3d
+            gv = sample.get("gt_vertices")
+            if gv is not None:
+                sample["gt_vertices"] = (
+                    np.asarray(gv, np.float32) @ R.T)
+            pose = sample.get("gt_pose_aa")
+            if pose is not None:
+                pose = np.asarray(pose, np.float32)
+                shape = pose.shape
+                aa = pose.reshape(-1, 3).copy()
+                per_rdg, _ = cv2.Rodrigues(aa[0].astype(np.float64))
+                resrot, _ = cv2.Rodrigues(R.astype(np.float64) @ per_rdg)
+                aa[0] = resrot.reshape(3).astype(np.float32)
+                sample["gt_pose_aa"] = aa.reshape(shape)
         sample["center"] = center
         sample["scale"] = scale
         if not self.return_full_imgs:
@@ -406,11 +461,15 @@ class Normalize:
         self.std = np.asarray(std, np.float32)
 
     def __call__(self, sample: Sample, rng) -> Sample:
-        for key in ("cropped_image", "image"):
-            if key in sample and sample[key] is not None:
-                sample[key] = (
-                    (sample[key] - self.mean) / self.std
-                ).astype(np.float32)
+        # ONLY the crop: the retained full image must stay raw [0, 1] —
+        # the fused on-device path (apply_from_full_images) ImageNet-
+        # normalises on device (normalising here double-normalised the
+        # demo's batched path), and the overlay renderer composites on
+        # the raw image (the reference un-normalises before rendering).
+        if sample.get("cropped_image") is not None:
+            sample["cropped_image"] = (
+                (sample["cropped_image"] - self.mean) / self.std
+            ).astype(np.float32)
         return sample
 
 

@@ -173,7 +173,14 @@ class SMPL:
     def keypoint_names(self):
         from shapy_tpu.data.keypoints import model_keypoint_names
 
-        names = model_keypoint_names(self.NAME)
+        # Honour this model's contour setting: SMPL-X defaults to
+        # use_face_contour=False, and the joints array then has no
+        # contour rows — a name list that still includes the 17 contour
+        # names would mislabel every extra joint appended after them.
+        names = model_keypoint_names(
+            self.NAME,
+            use_face_contour=getattr(self, "use_face_contour", True),
+        )
         return names + self.extra_joint_names
 
     # -- forward -----------------------------------------------------------

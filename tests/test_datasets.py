@@ -335,3 +335,106 @@ def test_shard_sampler_by_process_single_host_noop():
 
     s = SequentialBatchSampler(16, 4)
     assert shard_sampler_by_process(s) is s
+
+
+def test_parametric_multi_archive_field_alignment(tmp_path, rng):
+    """Fields present in only SOME npz archives must stay row-aligned:
+    archive A (no joints3d) + archive B (joints3d) — A's samples carry
+    no joints3d, B's carry THEIR OWN rows (naive per-field concat would
+    serve B's joints3d for A's images and crash on the tail)."""
+    import cv2
+
+    from shapy_tpu.data.datasets.parametric import ParametricFitsDataset
+
+    img_dir = tmp_path
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / f"im{i}.jpg"),
+                    (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8))
+
+    def write(fname, names, with_j3d):
+        n = len(names)
+        kw = dict(
+            imgname=np.asarray(names),
+            center=np.full((n, 2), 32.0, np.float32),
+            scale=np.full((n,), 0.5, np.float32),
+            pose=np.zeros((n, 22, 3), np.float32),
+            keypoints2d=np.zeros((n, 49, 3), np.float32),
+        )
+        if with_j3d:
+            kw["joints3d"] = np.arange(n, dtype=np.float32).reshape(
+                n, 1, 1).repeat(24, 1).repeat(4, 2) + 100.0
+        np.savez(tmp_path / fname, **kw)
+
+    write("a.npz", ["im0.jpg", "im1.jpg"], with_j3d=False)
+    write("b.npz", ["im2.jpg", "im3.jpg"], with_j3d=True)
+
+    ds = ParametricFitsDataset(
+        data_folder=str(img_dir), npz_files=["a.npz", "b.npz"],
+        keypoint_format="spin49", split="train", transforms=None,
+    )
+    assert len(ds) == 4
+    assert "joints3d" not in ds[0] and "joints3d" not in ds[1]
+    # B's first row (global index 2) carries B's OWN joints3d (value 100)
+    np.testing.assert_allclose(ds[2]["joints3d"][0, 0], 100.0)
+    np.testing.assert_allclose(ds[3]["joints3d"][0, 0], 101.0)
+
+
+def test_crop_rotation_rotates_3d_supervision(rng):
+    """Rotation augmentation must rotate camera-frame 3D GT (joints3d,
+    gt_vertices, global orient of gt_pose_aa) by R_z(-rot) like the
+    reference structures (keypoints.py:432, vertices.py:85,
+    global_rot.py:54)."""
+    import cv2
+
+    from shapy_tpu.data.transforms import Crop
+
+    rot = 90.0
+    sample = {
+        "image": (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8),
+        "center": np.asarray([32.0, 32.0]),
+        "scale": 0.5,
+        "rotation": rot,
+        "joints3d": np.asarray([[1.0, 0.0, 2.0, 1.0]], np.float32),
+        "gt_vertices": np.asarray([[1.0, 0.0, 2.0]], np.float32),
+        "gt_pose_aa": np.zeros((22, 3), np.float32),
+    }
+    out = Crop(crop_size=32, is_train=True)(
+        dict(sample), np.random.default_rng(0))
+    # R_z(-90deg) @ (1, 0, z) = (0, -1, z)
+    np.testing.assert_allclose(
+        out["joints3d"][0, :3], [0.0, -1.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(
+        out["gt_vertices"][0], [0.0, -1.0, 2.0], atol=1e-6)
+    # identity global orient -> axis-angle of R_z(-90deg)
+    aa_global = out["gt_pose_aa"][0]
+    R_expected = cv2.Rodrigues(aa_global.astype(np.float64))[0]
+    c, s = np.cos(np.deg2rad(-rot)), np.sin(np.deg2rad(-rot))
+    np.testing.assert_allclose(
+        R_expected, [[c, -s, 0], [s, c, 0], [0, 0, 1]], atol=1e-6)
+    # body rows untouched
+    np.testing.assert_allclose(out["gt_pose_aa"][1:], 0.0)
+
+
+def test_shape_sampler_reads_item_metadata():
+    """ShapeSampler must read weight/bmi/gender from per-item metadata
+    dicts (ModelAgencyDataset stores them on .items, not as dataset
+    arrays) — use_shape_sampling previously crashed with AttributeError."""
+    from shapy_tpu.data.samplers import ShapeSampler
+
+    class ItemsDS:
+        def __init__(self):
+            self.items = [
+                {"weight": 55.0, "height": 1.65, "gender": "female"},
+                {"weight": 80.0, "height": 1.85, "gender": "male"},
+                {"weight": None, "height": 1.7, "gender": "male"},
+                {"weight": 62.0, "height": 1.7, "gender": "female"},
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+    for key in ("weight", "bmi"):
+        s = ShapeSampler([ItemsDS()], batch_size=4, importance_key=key)
+        batches = list(iter(s))
+        assert batches and all(b.shape == (4,) for b in batches)
+        assert set(np.concatenate(batches)) <= {0, 1, 2, 3}
