@@ -169,14 +169,14 @@ class ParametricFitsDataset:
             "gender_int": GENDER_TO_INT.get(gender.lower()[:1], 0),
             "index": index,
         }
-        if (self.data.get("pose") is not None
-                and bool(self.present["pose"][index])):
-            sample["gt_pose_aa"] = np.asarray(
-                self.data["pose"][index], np.float32)
+
         def has(k):
-            return (self.data[k] is not None
+            return (self.data.get(k) is not None
                     and bool(self.present[k][index]))
 
+        if has("pose"):
+            sample["gt_pose_aa"] = np.asarray(
+                self.data["pose"][index], np.float32)
         if has("keypoints2d"):
             sample["keypoints2d"] = np.asarray(
                 self.data["keypoints2d"][index], np.float32

@@ -20,6 +20,7 @@ less signal.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -267,12 +268,9 @@ class ExtremeBodyCrop:
         self.torso_prob = torso_upper_body_prob
         self.fmt = fmt
 
-    def _parts(self, fmt: str):
+    def __call__(self, sample: Sample, rng) -> Sample:
         from shapy_tpu.data.keypoints import get_part_idxs
 
-        return get_part_idxs(fmt)
-
-    def __call__(self, sample: Sample, rng) -> Sample:
         if self.prob <= 0 or rng.uniform() > self.prob:
             return sample
         kp = sample.get("keypoints2d")
@@ -281,8 +279,9 @@ class ExtremeBodyCrop:
         # Resolve part indices in the SAMPLE's keypoint format (like
         # RandomHorizontalFlip): the pose stream mixes 49/24-row spin
         # layouts with the pipeline-level openpose format, whose part
-        # indices would be out of range here.
-        parts = self._parts(str(sample.get("keypoint_format", self.fmt)))
+        # indices would be out of range here. (get_part_idxs is
+        # lru_cached — per-call resolution is a dict hit.)
+        parts = get_part_idxs(str(sample.get("keypoint_format", self.fmt)))
         idxs = (
             parts["torso"] if rng.uniform() < self.torso_prob
             else parts["upper"]
@@ -327,8 +326,6 @@ class Crop:
             # The reference's shipped configs always pair
             # scale_factor: 0.25 with scale_dist: 'normal'. Warn loudly
             # instead of silently skipping the configured augmentation.
-            import warnings
-
             warnings.warn(
                 f"scale_factor={scale_factor} has NO effect with "
                 "scale_dist='uniform' and default bounds (1, 1); set "

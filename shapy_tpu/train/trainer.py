@@ -84,8 +84,8 @@ class Trainer:
         # would embed ~100 MB of blend shapes into the serialized HLO
         # (slow compiles; overflows the dev tunnel's compile request at
         # batch 256). Same arrays every call -> no retracing.
-        self.model_consts = getattr(regressor, "model", None) and \
-            regressor.model.params
+        model = getattr(regressor, "model", None)
+        self.model_consts = model.params if model is not None else None
 
     def resume(self) -> None:
         if self.checkpointer is None:
