@@ -228,23 +228,34 @@ def _subsample(store, name, x, num_layers, train, axis_name):
     return x
 
 
-def _ckpt_section(store: ParamStore, enabled: bool, fn, xs):
+def _ckpt_section(store: ParamStore, mode: Optional[str], fn, xs):
     """Run ``fn(local_store, xs) -> ys`` under :func:`jax.checkpoint`.
 
     The param dict is threaded in and the train-mode batch-stat updates
     are threaded OUT as explicit pytree leaves — the store's Python-dict
     side channel would otherwise leak tracers out of the rematerialized
-    scope. Identical math; the section's activations are recomputed from
-    (params, xs) during the backward pass instead of being saved."""
-    if not enabled:
+    scope. Identical math; ``mode`` picks what the backward pass saves:
+
+    - ``"stages"``: only the section boundaries — everything inside
+      (convs included) is recomputed. Minimum memory, pays the convs
+      twice.
+    - ``"convs"``: every conv output (tagged ``checkpoint_name`` in
+      layers.conv2d) is saved; only the cheap BN/ReLU elementwise
+      chains and BN moment reductions are recomputed. ~2x activation
+      memory reduction at a few HBM passes of recompute — no conv
+      is ever run twice.
+    """
+    if mode is None:
         return fn(store, xs)
+    policy = (jax.checkpoint_policies.save_only_these_names("conv_out")
+              if mode == "convs" else None)
 
     def inner(params, xs):
         local = ParamStore(params)
         local.fold_bn = store.fold_bn
         return fn(local, xs), local.stat_updates
 
-    ys, updates = jax.checkpoint(inner)(store.params, xs)
+    ys, updates = jax.checkpoint(inner, policy=policy)(store.params, xs)
     store.stat_updates.update(updates)
     return ys
 
@@ -257,7 +268,7 @@ def hrnet_forward(
     return_stages: bool = False,
     old_impl: bool = False,
     fold_bn: Optional[bool] = None,
-    remat: bool = False,
+    remat: str = "none",
     _store: Optional[ParamStore] = None,
 ) -> Dict[str, Array]:
     """images (B, H, W, 3) -> {'concat': (B, 2048), 'layer1..4': maps}.
@@ -266,14 +277,22 @@ def hrnet_forward(
     eval affine into its conv — identical math, 19 ms faster per batch
     of 128 on v5e (see layers.bn_fold_params).
 
-    ``remat``: checkpoint each stage/head section (training only) —
-    activations inside a section are recomputed in the backward pass
-    instead of living for the whole step. See BENCH.md round-3 train
-    ledger for the measured memory/speed trade."""
+    ``remat`` ("none" | "stages" | "convs"): checkpoint each stage/head
+    section (training only) — "stages" recomputes everything inside a
+    section in the backward pass, "convs" saves conv outputs and
+    recomputes only the elementwise BN/ReLU chains (see _ckpt_section).
+    See BENCH.md round-3 train ledger for the measured memory/speed
+    trades."""
     store = _store if _store is not None else ParamStore(params)
     if _store is None:
         store.fold_bn = (not train) if fold_bn is None else fold_bn
-    ck = remat and train and not store.init
+    if remat in (False, None):  # legacy bool spelling
+        remat = "none"
+    elif remat is True:
+        remat = "stages"
+    if remat not in ("none", "stages", "convs"):
+        raise ValueError(f"remat must be none|stages|convs, got {remat!r}")
+    ck = remat if (remat != "none" and train and not store.init) else None
 
     def sec_stem(st, images):
         x = conv_bn_relu(st, "conv1", "bn1", images, 64, 3, 2, 1, train,

@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 BN_MOMENTUM = 0.1
@@ -131,7 +132,11 @@ def conv2d(
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y
+    # Tag for selective rematerialization: under remat="convs" the
+    # checkpoint policy saves exactly these (the expensive MXU results)
+    # and recomputes the cheap BN/ReLU elementwise chains in the backward
+    # pass. A no-op outside jax.checkpoint regions.
+    return checkpoint_name(y, "conv_out")
 
 
 def _bn_moments(x: Array, axis_name: Optional[str]):

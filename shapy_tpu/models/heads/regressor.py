@@ -273,7 +273,7 @@ class BodyRegressor:
                 params["backbone"], images, train=train,
                 axis_name=axis_name,
                 old_impl=getattr(self, "hrnet_old_impl", False),
-                remat=getattr(self, "backbone_remat", "none") == "stages",
+                remat=getattr(self, "backbone_remat", "none"),
                 _store=backbone_store,
             )["concat"]
         else:

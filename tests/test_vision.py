@@ -67,8 +67,8 @@ def test_hrnet_batchnorm_train_updates(hrnet_params):
 
 
 def test_hrnet_remat_matches_plain(hrnet_params):
-    """remat=True must be a pure memory/speed trade: identical outputs,
-    identical batch-stat updates, identical gradients."""
+    """Every remat mode must be a pure memory/speed trade: identical
+    outputs, identical batch-stat updates, identical gradients."""
     x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 64, 64, 3)),
                     jnp.float32)
 
@@ -79,18 +79,19 @@ def test_hrnet_remat_matches_plain(hrnet_params):
         return jnp.sum(out["concat"] ** 2) * 1e-3, store.stat_updates
 
     (l0, s0), g0 = jax.value_and_grad(loss, has_aux=True)(
-        hrnet_params, False)
-    (l1, s1), g1 = jax.value_and_grad(loss, has_aux=True)(
-        hrnet_params, True)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    assert set(s0) == set(s1) and len(s0) > 0
-    for k in s0:
-        np.testing.assert_allclose(np.asarray(s0[k]), np.asarray(s1[k]),
-                                   atol=1e-6)
-    for k in g0:
-        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
-                                   atol=1e-5,
-                                   err_msg=f"grad mismatch at {k}")
+        hrnet_params, "none")
+    for mode in ("stages", "convs"):
+        (l1, s1), g1 = jax.value_and_grad(loss, has_aux=True)(
+            hrnet_params, mode)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        assert set(s0) == set(s1) and len(s0) > 0
+        for k in s0:
+            np.testing.assert_allclose(
+                np.asarray(s0[k]), np.asarray(s1[k]), atol=1e-6)
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g0[k]), np.asarray(g1[k]), atol=1e-5,
+                err_msg=f"grad mismatch at {k} (remat={mode})")
 
 
 def test_batch_norm_matches_torch_semantics():

@@ -7,7 +7,9 @@ methodology from bench.py (per-dispatch tunnel latency cancels out).
 Usage: python tools/perf_train.py [batch]
 Env:
   TRAIN_BF16=1    backbone compute in bfloat16 (f32 params/BN stats)
-  TRAIN_REMAT=stages  jax.checkpoint each HRNet stage (memory option)
+  TRAIN_REMAT=stages|convs  jax.checkpoint the HRNet stages (memory
+                  option; "convs" saves conv outputs, recomputes only
+                  the BN/ReLU elementwise chains)
   TRAIN_FWD_ONLY=1 / TRAIN_MEAS=0 / TRAIN_MEMSTATS=1  decomposition aids
 
 (The chained fori_loop cannot donate buffers — the Trainer's real loop
@@ -73,8 +75,8 @@ def main():
     if os.environ.get("TRAIN_BF16", "0") == "1":
         regressor.backbone_compute_dtype = jnp.bfloat16
     remat = os.environ.get("TRAIN_REMAT", "none")
-    if remat not in ("none", "stages"):
-        sys.exit(f"TRAIN_REMAT must be none|stages, got {remat!r}")
+    if remat not in ("none", "stages", "convs"):
+        sys.exit(f"TRAIN_REMAT must be none|stages|convs, got {remat!r}")
     if remat != "none":
         regressor.backbone_remat = remat
     slice_mode = os.environ.get("TRAIN_SLICE", "")
