@@ -203,6 +203,22 @@ def _e2e_images_per_sec(regressor, batch_size: int, n_images: int) -> dict:
             return acc + jnp.sum(last["betas"] ** 2)
 
         loader_u8 = make_loader(ds_u8, collate_u8)
+
+        # ---- loader-only probe of the PRODUCTION path: the pipelined
+        # mode's host-side work is decode + keypoint JSON + affine +
+        # uint8 stack (no f32 convert, no host warp, no normalize —
+        # those run fused on device). This is the number to compare
+        # against device throughput when sizing host cores per chip.
+        count = 0
+        for batch in loader_u8:  # warm pass: OS file cache
+            count += batch[0].shape[0]
+        start = time.perf_counter()
+        count = 0
+        for batch in loader_u8:
+            count += batch[0].shape[0]
+        elapsed = time.perf_counter() - start
+        results["loader_only_pipelined"] = count / elapsed if count else 0.0
+
         warm = next(iter(loader_u8))
         acc = jnp.zeros((), jnp.float32)
         acc = step_fused(regressor.params, mconsts, acc,

@@ -32,7 +32,9 @@ def read_img(path: str, dtype: str = "float32") -> np.ndarray:
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if dtype == "uint8":
         return img
-    return img.astype(np.float32) / 255.0
+    out = img.astype(np.float32)
+    np.divide(out, 255.0, out=out)  # in-place: skip one full-image pass
+    return out
 
 
 class OpenPoseDataset:

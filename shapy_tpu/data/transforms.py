@@ -463,10 +463,16 @@ class Normalize:
         # normalises on device (normalising here double-normalised the
         # demo's batched path), and the overlay renderer composites on
         # the raw image (the reference un-normalises before rendering).
-        if sample.get("cropped_image") is not None:
-            sample["cropped_image"] = (
-                (sample["cropped_image"] - self.mean) / self.std
-            ).astype(np.float32)
+        img = sample.get("cropped_image")
+        if img is not None:
+            # In-place on the transform-owned crop buffer: one pass for
+            # subtract + one for divide, no temporaries (the loader is
+            # the host-side bound on real TPU hosts — see BENCH.md).
+            if img.dtype != np.float32:
+                img = img.astype(np.float32)
+            np.subtract(img, self.mean, out=img)
+            np.divide(img, self.std, out=img)
+            sample["cropped_image"] = img
         return sample
 
 
