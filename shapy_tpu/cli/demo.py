@@ -137,6 +137,21 @@ def build_demo_regressor(exp_cfg: Dict, checkpoint_path: str = ""):
         a2b_models=a2b_models,
     )
 
+    # Performance knobs (measured trade-offs in BENCH.md): bfloat16
+    # backbone compute with f32 params/BN stats, and the backbone remat
+    # mode ("none" | "stages" | "convs") that makes batch >= 192 fit the
+    # 16 GB HBM during training.
+    dtype_name = str(net_sub.get("compute_dtype", "") or "")
+    if dtype_name in ("bfloat16", "bf16"):
+        regressor.backbone_compute_dtype = jnp.bfloat16
+    elif dtype_name and dtype_name != "float32":
+        raise ValueError(
+            f"network compute_dtype must be float32|bfloat16, got "
+            f"{dtype_name!r}")
+    remat = net_sub.get("remat")
+    if remat is not None:
+        regressor.backbone_remat = str(remat)
+
     if checkpoint_path and os.path.exists(checkpoint_path):
         from shapy_tpu.io.model_import import load_reference_model_checkpoint
 

@@ -296,3 +296,28 @@ def test_import_checkpoint_cli(tmp_path):
     got = np.asarray(loaded["params"]["backbone"]["conv1.weight"])
     want = np.asarray(sd["backbone.conv1.weight"]).transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_build_demo_regressor_perf_knobs():
+    """network.smplx compute_dtype / remat YAML keys reach the regressor —
+    the measured BENCH.md train configuration (bf16 backbone, big-batch
+    remat) is reachable from config, not only from the perf tools."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.cli.demo import build_demo_regressor
+
+    os.environ.setdefault("SHAPY_TPU_SYNTHETIC_BODY", "1")
+    os.environ.setdefault("SHAPY_TPU_TEST_SUBDIV", "2")
+    sub = {
+        "num_stages": 2, "predict_hands": False, "predict_face": False,
+        "backbone": {"type": "resnet", "depth": 18},
+        "mlp": {"layers": [32], "dropout": 0.0},
+        "compute_dtype": "bfloat16", "remat": "convs",
+    }
+    reg = build_demo_regressor({"network": {"smplx": sub}})
+    assert reg.backbone_compute_dtype == jnp.bfloat16
+    assert reg.backbone_remat == "convs"
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        build_demo_regressor(
+            {"network": {"smplx": dict(sub, compute_dtype="fp8")}})
