@@ -440,9 +440,13 @@ def build_parser():
 
 if __name__ == "__main__":
     from shapy_tpu.utils.config import load_config
+    from shapy_tpu.utils.device import (exit_on_device_failure,
+        raise_open_file_limit)
 
     args = build_parser().parse_args()
     cfg = load_config({}, args.exp_cfgs, args.exp_opts)
+    raise_open_file_limit()  # reference demo.py:31-32
+    exit_on_device_failure()  # reference demo.py:136-139: exit 3
     sys.exit(
         main(
             cfg,

@@ -135,4 +135,9 @@ if __name__ == "__main__":
                         help="shard eval batches over this many devices")
     args = parser.parse_args()
     cfg = load_config({}, args.exp_cfgs, args.exp_opts)
+    from shapy_tpu.utils.device import (exit_on_device_failure,
+        raise_open_file_limit)
+
+    raise_open_file_limit()  # reference demo.py:31-32
+    exit_on_device_failure()  # reference evaluate.py device gate: exit 3
     sys.exit(main(cfg, args.output_folder, args.split, args.num_devices))

@@ -99,5 +99,10 @@ if __name__ == "__main__":
     parser.add_argument("--num-devices", type=int, default=0)
     args = parser.parse_args()
     cfg = load_config({}, args.exp_cfgs, args.exp_opts)
+    from shapy_tpu.utils.device import (exit_on_device_failure,
+        raise_open_file_limit)
+
+    raise_open_file_limit()  # reference demo.py:31-32
+    exit_on_device_failure()  # scheduler-resubmittable device failure
     sys.exit(main(cfg, args.output_folder, args.num_steps,
                   args.num_devices))

@@ -321,3 +321,22 @@ def test_build_demo_regressor_perf_knobs():
     with pytest.raises(ValueError, match="compute_dtype"):
         build_demo_regressor(
             {"network": {"smplx": dict(sub, compute_dtype="fp8")}})
+
+
+def test_device_failure_exit_code():
+    """Reference demo.py:136-139,155-159: accelerator-init failure exits
+    with code 3 so cluster schedulers resubmit instead of flagging a job
+    bug. A working CPU backend is a platform choice, not a failure."""
+    bad = ("import jax; jax.config.update('jax_platforms','bogus'); "
+           "from shapy_tpu.utils.device import exit_on_device_failure; "
+           "exit_on_device_failure()")
+    out = run_cli(["-c", bad])
+    assert out.returncode == 3, (out.returncode, out.stderr[-500:])
+    assert "initialisation failed" in out.stderr
+
+    good = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            "from shapy_tpu.utils.device import exit_on_device_failure; "
+            "exit_on_device_failure(); print('devices ok')")
+    out = run_cli(["-c", good])
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "devices ok" in out.stdout
