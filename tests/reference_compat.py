@@ -500,3 +500,18 @@ def load_ref_losses():
         "human_shape.losses.losses",
         "regressor/human_shape/losses/losses.py",
     )
+
+
+def load_ref_metrics():
+    """regressor/human_shape/utils/metrics.py — alignments, point errors
+    (pure numpy/torch; open3d is only touched inside point_fscore /
+    v2vhdError's point-cloud conversion, so an empty stub suffices)."""
+    setup()
+    # np2o3d_pcl's signature annotation dereferences o3d.geometry at
+    # module-exec time; give the stub that attribute chain.
+    geometry = types.SimpleNamespace(PointCloud=object)
+    _ensure_module("open3d", {"geometry": geometry})
+    return _load_file(
+        "human_shape.utils.metrics",
+        "regressor/human_shape/utils/metrics.py",
+    )

@@ -691,3 +691,42 @@ def test_loss_normalisation_parity(rng):
     got = float(vertex_edge_loss(jnp.asarray(verts_p),
                                  jnp.asarray(verts_g), edges))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_alignment_point_error_parity(rng):
+    """Eval alignments + point error vs the ACTUAL reference metrics
+    module (utils/metrics.py:16-305). The reference's TranslationAlignment
+    shifts est into gt's frame while ours centres both sets; the aligned
+    DIFFERENCE (the only thing PointError consumes) is invariant to that
+    frame choice, so differences and per-point errors are compared."""
+    from shapy_tpu.eval import metrics as ours
+
+    rm = rc.load_ref_metrics()
+    B, P = 3, 40
+    base = rng.normal(size=(B, P, 3)).astype(np.float64)
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    gt64 = (1.37 * base @ Q.T + rng.normal(size=(1, 1, 3))
+            + 0.03 * rng.normal(size=base.shape))
+    est, gt = base.astype(np.float32), gt64.astype(np.float32)
+
+    cases = [("none", None), ("translation", None), ("scale", None),
+             ("procrustes", None), ("root", [2, 5])]
+    for name, root in cases:
+        ref_align = (rm.build_alignment(name, root=root) if root
+                     else rm.build_alignment(name))
+        ref_hat, ref_gt = ref_align(est.copy(), gt.copy())
+        ref_err = rm.point_error(ref_hat, ref_gt)
+
+        our_align = (ours.build_alignment(name, root=tuple(root)) if root
+                     else ours.build_alignment(name))
+        our_hat, our_gt = our_align(jnp.asarray(est), jnp.asarray(gt))
+        our_err = np.asarray(
+            ours.point_error(np.asarray(our_hat), np.asarray(our_gt)))
+        np.testing.assert_allclose(our_err, ref_err, atol=5e-4,
+                                   err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(our_hat) - np.asarray(our_gt), ref_hat - ref_gt,
+            atol=5e-4, err_msg=name)
