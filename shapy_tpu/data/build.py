@@ -187,6 +187,21 @@ def collate_batch(
             stacked[i, dst_idx] = j3d[src_idx]
         out["joints3d"] = stacked
 
+    # LSP-14 GT joints for the mpjpe14 protocol (reference
+    # threedpw.py:209-212 / evaluation.py:161-190). Positional — no
+    # name remap; missing samples flagged in joints14_valid.
+    if any("joints14" in s for s in samples):
+        stacked = np.zeros((B, 14, 3), np.float32)
+        valid = np.zeros((B,), np.float32)
+        for i, s in enumerate(samples):
+            j14 = s.get("joints14")
+            if j14 is None:
+                continue
+            stacked[i] = np.asarray(j14, np.float32)[:14, :3]
+            valid[i] = 1.0
+        out["joints14"] = stacked
+        out["joints14_valid"] = valid
+
     # Axis-angle GT poses -> rotation-matrix targets for the pose
     # losses (gt_global_rot (B,3,3), gt_body_pose (B,21,3,3)).
     if any(s.get("gt_pose_aa") is not None for s in samples):

@@ -91,6 +91,10 @@ class ThreeDPWDataset:
             sample["keypoints2d"] = self.keypoints2d[index]
         if self.joints3d is not None:
             sample["joints3d"] = self.joints3d[index]
+            if "train" not in self.split:
+                # Eval protocol: the first 14 rows are the LSP-14 GT
+                # joints used by mpjpe14 (reference threedpw.py:209-212).
+                sample["joints14"] = self.joints3d[index][:14, :3]
         if self.transforms is not None:
             from shapy_tpu.data.rng import augment_rng
 

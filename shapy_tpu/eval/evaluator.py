@@ -34,7 +34,16 @@ Array = jax.Array
 BMI_BUCKETS = ((0, 18.5), (18.5, 25.0), (25.0, 30.0), (30.0, 100.0))
 BMI_BUCKET_NAMES = ("underweight", "normal", "overweight", "obese")
 
+# Reference BMI-*histogram* bins (evaluation.py:671-672): np.digitize over
+# [20, 25, 30, 35, 40] -> 6 groups used for the per-metric bar figures.
+BMI_HIST_BINS = (20.0, 25.0, 30.0, 35.0, 40.0)
+BMI_HIST_NAMES = ("<20", "20-25", "25-30", "30-35", "35-40", ">40")
+
 MEASUREMENT_KEYS = ("height", "chest", "waist", "hips", "mass")
+
+# Default focal length used by the reference render pipeline
+# (regressor/demo.py:75, plot_utils weak-persp conversion).
+DEFAULT_FOCAL_LENGTH = 5000.0
 
 
 class MetricAccumulator:
@@ -52,11 +61,18 @@ class MetricAccumulator:
 
     def update(self, values: np.ndarray,
                group_keys: Optional[List[str]] = None) -> None:
-        values = np.asarray(values).reshape(-1)
-        self.sum += float(values.sum())
-        self.count += values.size
+        """NaN entries mark invalid samples (e.g. missing GT for a
+        per-sample metric in a mixed batch) and are skipped — the
+        reference only indexes samples that carry the GT field
+        (evaluation.py:105-110)."""
+        values = np.asarray(values, np.float64).reshape(-1)
+        finite = np.isfinite(values)
+        self.sum += float(values[finite].sum())
+        self.count += int(finite.sum())
         if group_keys is not None:
-            for v, g in zip(values, group_keys):
+            for v, g, ok in zip(values, group_keys, finite):
+                if not ok:
+                    continue
                 self.group_sums[g] += float(v)
                 self.group_counts[g] += 1
 
@@ -82,6 +98,18 @@ def bmi_bucket(height_m: float, mass_kg: float) -> str:
     return "unknown"
 
 
+def bmi_hist_group(height_m: np.ndarray, mass_kg: np.ndarray) -> np.ndarray:
+    """Reference histogram bucketing: np.digitize(bmi, [20,25,30,35,40])
+    (evaluation.py:729). Returns int groups in [0, 5]; -1 where the
+    height is non-positive (no BMI available)."""
+    height_m = np.asarray(height_m, np.float64).reshape(-1)
+    mass_kg = np.asarray(mass_kg, np.float64).reshape(-1)
+    valid = height_m > 0
+    bmi = np.where(valid, mass_kg / np.maximum(height_m, 1e-6) ** 2, 0.0)
+    groups = np.digitize(bmi, np.asarray(BMI_HIST_BINS))
+    return np.where(valid, groups, -1).astype(np.int64)
+
+
 class Evaluator:
     """Runs a model over eval loaders and aggregates metrics.
 
@@ -100,6 +128,9 @@ class Evaluator:
         alignments: Dict[str, PointError] | None = None,
         summary_writer=None,
         output_folder: str = "",
+        j14_regressor: Optional[np.ndarray] = None,
+        mpjpe14_alignments: Dict[str, PointError] | None = None,
+        render_summaries: bool = True,
     ):
         self.point_regressor = point_regressor
         self.target_point_regressor = target_point_regressor
@@ -109,6 +140,20 @@ class Evaluator:
         }
         self.summary_writer = summary_writer
         self.output_folder = output_folder
+        # J14 regressor (14, V) for the 3DPW protocol metric; the
+        # reference truncates to the first 14 rows and root-aligns on
+        # hips [2, 3] (evaluation.py:616-635).
+        self.j14_regressor = (
+            None if j14_regressor is None
+            else jnp.asarray(np.asarray(j14_regressor)[:14], jnp.float32)
+        )
+        self.mpjpe14_alignments = mpjpe14_alignments or {
+            "root": PointError("root", root=(2, 3)),
+            "procrustes": PointError("procrustes"),
+        }
+        # Mesh-overlay summaries ride the host rasteriser; opt out for
+        # metric-only runs (reference gates similarly via summary_steps).
+        self.render_summaries = render_summaries
 
     def __enter__(self):
         return self
@@ -164,6 +209,27 @@ class Evaluator:
                 err = pe(est, gt[..., :3])
                 metrics[f"mpjpe_{name}"] = jnp.mean(err, axis=-1)
 
+        # mpjpe14: regress 14 LSP-style joints from the posed vertices
+        # with the J14 regressor (reference evaluation.py:161-190:
+        # einsum('jv,bvn->bjn') then each alignment; root joints fixed
+        # to the hips [2, 3] at metric-build time, evaluation.py:616-619).
+        if (
+            self.j14_regressor is not None
+            and "gt_joints14" in targets
+            and "vertices" in stage
+        ):
+            est14 = jnp.einsum(
+                "jv,bvn->bjn", self.j14_regressor, stage["vertices"]
+            )
+            gt14 = targets["gt_joints14"][..., :3]
+            valid = targets.get("joints14_valid")
+            for name, pe in self.mpjpe14_alignments.items():
+                err = jnp.mean(pe(est14, gt14), axis=-1)
+                if valid is not None:
+                    # invalid samples -> NaN, skipped by the accumulator
+                    err = jnp.where(valid > 0, err, jnp.nan)
+                metrics[f"mpjpe14_{name}"] = err
+
         meas = stage.get("measurements") or outputs.get("measurements")
         if meas is not None:
             for key in MEASUREMENT_KEYS:
@@ -189,6 +255,16 @@ class Evaluator:
 
         images: (B, H, W, 3) normalised crops; renders the predicted mesh
         over the first ``max_images`` and logs via the summary writer.
+
+        When ``outputs['camera_parameters']`` carries the regressed
+        weak-perspective camera, the mesh is rendered with it — the
+        reference's OverlayRenderer builds its projection directly from
+        the predicted (scale, translation) (evaluation.py:506-533,
+        plot_utils.py:336-367). The weak-persp NDC map
+        x_ndc = s*(x+t) is realised on the pinhole rasteriser by placing
+        the mesh at z = 2f/(s*S) (regressor/demo.py:88 conversion), which
+        is exact for any f. Falls back to a fixed-depth heuristic only
+        when no camera is present in the outputs.
         """
         from shapy_tpu.render import render_mesh_overlay
 
@@ -201,16 +277,48 @@ class Evaluator:
         verts = np.asarray(vertices)[:max_images]
         mean = np.asarray(mean, np.float32)
         std = np.asarray(std, np.float32)
+
+        cam = outputs.get("camera_parameters") or {}
+        cam_scale = cam.get("scale")
+        cam_transl = cam.get("translation")
+        use_pred_cam = cam_scale is not None and cam_transl is not None
+        if use_pred_cam:
+            cam_scale = np.asarray(cam_scale, np.float64).reshape(-1)
+            cam_transl = np.asarray(cam_transl, np.float64).reshape(-1, 2)
+            if bool(cam.get("scale_first", False)):
+                # scale_first: x_ndc = s*x + t  ->  shift by t/s
+                # (plot_utils.py:359-362).
+                cam_transl = cam_transl / np.maximum(
+                    cam_scale[:, None], 1e-9
+                )
+
         overlays = []
         for i in range(len(imgs)):
             rgb = np.clip(imgs[i] * std + mean, 0, 1)
-            v = verts[i] - verts[i].mean(0)
-            v = v * np.asarray([1.0, -1.0, -1.0])
-            v[:, 2] += 2.5
-            overlays.append(
-                render_mesh_overlay(rgb, v, np.asarray(faces),
-                                    focal_length=500.0 * rgb.shape[1] / 512)
-            )
+            S = rgb.shape[1]
+            if use_pred_cam:
+                z = 2.0 * DEFAULT_FOCAL_LENGTH / (
+                    cam_scale[i] * S + 1e-9
+                )
+                transl = np.asarray(
+                    [cam_transl[i, 0], cam_transl[i, 1], z]
+                )
+                overlays.append(
+                    render_mesh_overlay(
+                        rgb, verts[i], np.asarray(faces), transl=transl,
+                        focal_length=DEFAULT_FOCAL_LENGTH,
+                    )
+                )
+            else:
+                v = verts[i] - verts[i].mean(0)
+                v = v * np.asarray([1.0, -1.0, -1.0])
+                v[:, 2] += 2.5
+                overlays.append(
+                    render_mesh_overlay(
+                        rgb, v, np.asarray(faces),
+                        focal_length=500.0 * S / 512,
+                    )
+                )
         grid = np.concatenate(overlays, axis=1)
         if self.summary_writer is not None:
             self.summary_writer.add_image(
@@ -234,6 +342,12 @@ class Evaluator:
             accs: Dict[str, MetricAccumulator] = defaultdict(
                 MetricAccumulator
             )
+            # Streaming (sum, count) per (metric, BMI histogram group) for
+            # the reference's per-metric BMI bar figures
+            # (evaluation.py:722-751) — no O(dataset) host lists.
+            hist_sums: Dict[str, np.ndarray] = {}
+            hist_counts: Dict[str, np.ndarray] = {}
+            first_batch = True
             for batch in loader:
                 images = batch["images"]
                 targets = batch.get("targets", {})
@@ -241,8 +355,17 @@ class Evaluator:
                 metrics = self.compute_batch_metrics(
                     outputs, targets, last_stage
                 )
+                if (first_batch and self.render_summaries
+                        and self.summary_writer is not None):
+                    self.create_image_summaries(
+                        np.asarray(images), outputs,
+                        tag=f"{ds_name}/Images", step=step,
+                        last_stage=last_stage,
+                    )
+                    first_batch = False
                 genders = batch.get("genders")
                 bmis = batch.get("bmi_buckets")
+                hist_groups = batch.get("bmi_hist_groups")
                 for name, vals in metrics.items():
                     vals_np = np.asarray(vals)
                     groups = None
@@ -253,6 +376,16 @@ class Evaluator:
                                 f"{g}/{b}" for g, b in zip(groups, bmis)
                             ]
                     accs[name].update(vals_np, groups)
+                    if hist_groups is not None:
+                        hg = np.asarray(hist_groups).reshape(-1)
+                        flat = vals_np.reshape(-1)
+                        if name not in hist_sums:
+                            n = len(BMI_HIST_NAMES)
+                            hist_sums[name] = np.zeros(n)
+                            hist_counts[name] = np.zeros(n, np.int64)
+                        valid = (hg >= 0) & (hg < len(BMI_HIST_NAMES))
+                        np.add.at(hist_sums[name], hg[valid], flat[valid])
+                        np.add.at(hist_counts[name], hg[valid], 1)
 
             ds_result = {name: acc.mean for name, acc in accs.items()}
             for name, acc in accs.items():
@@ -265,7 +398,49 @@ class Evaluator:
                     self.summary_writer.add_scalar(
                         f"{ds_name}/{name}", val, step
                     )
+                self._write_bmi_histograms(hist_sums, hist_counts, step)
         return results
+
+    def _write_bmi_histograms(
+        self,
+        hist_sums: Dict[str, np.ndarray],
+        hist_counts: Dict[str, np.ndarray],
+        step: int,
+    ) -> None:
+        """Per-metric BMI-group bar figures (evaluation.py:735-751:
+        per-group mean * 1000, ylim [0, 300], tick labels
+        ['<20', ..., '>40'], logged as 'bmi histogram {metric}')."""
+        if not hist_sums or self.summary_writer is None:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover - matplotlib optional
+            return
+        for name, sums in hist_sums.items():
+            counts = hist_counts[name]
+            means = np.where(
+                counts > 0, sums / np.maximum(counts, 1) * 1000.0, 0.0
+            )
+            fig = plt.figure()
+            plt.ylim([0, 300])
+            plt.bar(
+                np.arange(len(BMI_HIST_NAMES)), means,
+                tick_label=list(BMI_HIST_NAMES),
+            )
+            try:
+                self.summary_writer.add_figure(
+                    f"bmi histogram {name}", fig, step
+                )
+            except AttributeError:
+                # Writers without figure support get the raw buckets.
+                for gi, gname in enumerate(BMI_HIST_NAMES):
+                    self.summary_writer.add_scalar(
+                        f"bmi_histogram/{name}/{gname}", means[gi], step
+                    )
+            plt.close("all")
 
 
 def build_evaluator(exp_cfg: Optional[Dict] = None, **kwargs) -> Evaluator:
@@ -289,8 +464,28 @@ def build_evaluator(exp_cfg: Optional[Dict] = None, **kwargs) -> Evaluator:
             target_regressor = SparsePointRegressor.from_pickle(
                 tgt_path, align=bool(p2p_cfg.get("align", True))
             )
+    # J14 regressor for mpjpe14 (reference evaluation.py:621-635:
+    # top-level cfg key 'j14_regressor_path', .pkl loaded latin1 or .npy,
+    # truncated to the first 14 rows).
+    j14 = kwargs.pop("j14_regressor", None)
+    j14_path = os.path.expandvars(cfg.get("j14_regressor_path", "") or "")
+    if j14 is None and j14_path and os.path.exists(j14_path):
+        if j14_path.endswith(".pkl"):
+            import pickle
+
+            with open(j14_path, "rb") as f:
+                j14 = pickle.load(f, encoding="latin1")
+        elif j14_path.endswith(".npy"):
+            j14 = np.load(j14_path)
+        else:
+            raise ValueError(
+                f"Unknown J14 regressor extension: {j14_path}"
+            )
+        if hasattr(j14, "todense"):  # scipy sparse pkl
+            j14 = np.asarray(j14.todense())
     return Evaluator(
         point_regressor=point_regressor,
         target_point_regressor=target_regressor,
+        j14_regressor=j14,
         **kwargs,
     )

@@ -192,3 +192,143 @@ def test_point_fscore_identical_clouds():
     pts = np.random.default_rng(1).normal(size=(300, 3)).astype(np.float32)
     out = point_fscore(pts, pts, 1e-4)
     assert float(out["fscore"]) == 1.0
+
+
+def test_bmi_hist_group_matches_reference_digitize():
+    """bmi_hist_group == np.digitize(bmi, [20,25,30,35,40])
+    (reference evaluation.py:671,729) with -1 for missing height."""
+    from shapy_tpu.eval.evaluator import BMI_HIST_BINS, bmi_hist_group
+
+    heights = np.asarray([1.80, 1.70, 1.60, 1.75, 1.65, 0.0])
+    masses = np.asarray([55.0, 65.0, 80.0, 100.0, 120.0, 70.0])
+    groups = bmi_hist_group(heights, masses)
+    bmi = masses[:5] / heights[:5] ** 2
+    np.testing.assert_array_equal(
+        groups[:5], np.digitize(bmi, np.asarray(BMI_HIST_BINS))
+    )
+    assert groups[5] == -1
+
+
+class _StubWriter:
+    def __init__(self):
+        self.scalars = {}
+        self.figures = {}
+        self.images = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars[tag] = value
+
+    def add_figure(self, tag, fig, step):
+        self.figures[tag] = fig
+
+    def add_image(self, tag, img, step):
+        self.images[tag] = img
+
+    def flush(self):
+        pass
+
+
+def test_evaluator_bmi_histograms(rng):
+    """Per-metric BMI-group figures: streaming (sum,count) means match a
+    direct per-group computation (reference evaluation.py:735-751)."""
+    gt_v = random_cloud(rng, B=4, P=20)
+    est_v = gt_v + 0.01 * rng.normal(size=gt_v.shape).astype(np.float32)
+    writer = _StubWriter()
+    ev = Evaluator(summary_writer=writer, render_summaries=False)
+
+    def model_fn(images, batch):
+        return {"stage_02": {"v_shaped": jnp.asarray(est_v)}}
+
+    loader = [{
+        "images": jnp.zeros((4, 4, 4, 3)),
+        "targets": {"gt_v_shaped": jnp.asarray(gt_v)},
+        "bmi_hist_groups": np.asarray([0, 0, 3, -1]),
+    }]
+    ev.run(model_fn, {"hbw": loader})
+    assert "bmi histogram v2v_t" in writer.figures
+
+    # recompute expected group means from the metric values directly
+    m = ev.compute_batch_metrics(
+        {"stage_02": {"v_shaped": jnp.asarray(est_v)}},
+        {"gt_v_shaped": jnp.asarray(gt_v)},
+    )
+    vals = np.asarray(m["v2v_t"])
+    fig = writer.figures["bmi histogram v2v_t"]
+    heights = [p.get_height() for p in fig.axes[0].patches]
+    assert heights[0] == pytest.approx(vals[:2].mean() * 1000, rel=1e-5)
+    assert heights[3] == pytest.approx(vals[2] * 1000, rel=1e-5)
+    assert heights[1] == 0.0 and heights[5] == 0.0
+
+
+def test_metric_accumulator_skips_nan():
+    from shapy_tpu.eval.evaluator import MetricAccumulator
+
+    acc = MetricAccumulator()
+    acc.update(np.asarray([1.0, np.nan, 3.0]), ["a", "a", "b"])
+    assert acc.mean == pytest.approx(2.0)
+    assert acc.group_means() == {"a": 1.0, "b": 3.0}
+
+
+def test_mpjpe14_respects_validity_mask(rng):
+    V = 50
+    verts = random_cloud(rng, B=2, P=V)
+    j14 = rng.uniform(size=(14, V)).astype(np.float32)
+    j14 /= j14.sum(1, keepdims=True)
+    gt14 = np.einsum("jv,bvn->bjn", j14, verts)
+    ev = Evaluator(j14_regressor=j14)
+    metrics = ev.compute_batch_metrics(
+        {"stage_02": {"vertices": jnp.asarray(verts)}},
+        {
+            "gt_joints14": jnp.asarray(gt14),
+            "joints14_valid": jnp.asarray([1.0, 0.0]),
+        },
+    )
+    vals = np.asarray(metrics["mpjpe14_root"])
+    assert np.isfinite(vals[0]) and vals[0] < 1e-5
+    assert np.isnan(vals[1])
+
+
+def test_image_summaries_predicted_camera(rng):
+    """Overlays use the regressed weak-persp camera when present: a
+    translation shift in camera x moves the rendered mask right
+    (reference evaluation.py:506-533 renders with the predicted
+    scale/translation)."""
+    from shapy_tpu.models.body.assets import icosphere
+
+    verts, faces = icosphere(2)
+    images = np.zeros((1, 64, 64, 3), np.float32)
+
+    def render(tx, scale_first=False):
+        scale = np.asarray([[0.8]], np.float32)
+        transl = np.asarray([[tx, 0.0]], np.float32)
+        if scale_first:
+            transl = transl * scale  # same camera, scale_first encoding
+        outputs = {
+            "stage_02": {
+                "vertices": verts[None].astype(np.float32) * 0.5,
+                "faces": faces,
+            },
+            "camera_parameters": {
+                "scale": scale,
+                "translation": transl,
+                "scale_first": scale_first,
+            },
+        }
+        ev = Evaluator()
+        return ev.create_image_summaries(
+            images, outputs, "t", max_images=1,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+
+    centered = render(0.0)
+    shifted = render(0.4)
+    assert centered is not None and shifted is not None
+    mask_c = centered.sum(-1) > 1e-4
+    mask_s = shifted.sum(-1) > 1e-4
+    assert mask_c.any() and mask_s.any()
+    cx_c = np.nonzero(mask_c)[1].mean()
+    cx_s = np.nonzero(mask_s)[1].mean()
+    assert cx_s > cx_c + 3  # moved right
+
+    # scale_first encoding of the SAME camera renders identically
+    sf = render(0.4, scale_first=True)
+    np.testing.assert_allclose(sf, shifted, atol=1e-6)

@@ -136,3 +136,86 @@ def test_evaluate_cli_no_datasets(tmp_path):
 
     rc = main({"datasets": {}}, output_folder=str(tmp_path / "none"))
     assert rc == 1
+
+
+def test_evaluate_cli_threedpw_mpjpe14(tmp_path, rng, capsys):
+    """3DPW-protocol eval through the CLI: the j14_regressor_path config
+    (reference defaults.py:76, evaluation.py:621-635) produces reported
+    mpjpe14 metrics from the dataset's LSP-14 GT joints
+    (threedpw.py:209-212)."""
+    import cv2
+
+    import shapy_tpu.cli.demo as demo_mod
+    from shapy_tpu.cli.evaluate import main
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+
+    # fake 3DPW tree: npz_data/test.npz + images/
+    root = tmp_path / "3dpw"
+    n = 3
+    os.makedirs(root / "npz_data", exist_ok=True)
+    os.makedirs(root / "images" / "seq0", exist_ok=True)
+    imgnames = []
+    for i in range(n):
+        name = f"seq0/image_{i:05d}.jpg"
+        imgnames.append(name)
+        img = (rng.uniform(size=(128, 96, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / name), img)
+    np.savez(
+        root / "npz_data" / "test.npz",
+        imgname=np.asarray(imgnames),
+        center=np.tile(np.asarray([48.0, 64.0], np.float32), (n, 1)),
+        scale=np.full((n,), 0.5, np.float32),
+        pose=rng.normal(size=(n, 72)).astype(np.float32) * 0.1,
+        shape=rng.normal(size=(n, 10)).astype(np.float32) * 0.5,
+        gender=np.asarray(["m", "f", "m"]),
+        joints3d=rng.normal(size=(n, 24, 3)).astype(np.float32),
+    )
+
+    body = SMPLX(model_data=make_synthetic_model_data(
+        "smplx", subdivisions=1))
+    V = np.asarray(body.params["v_template"]).shape[0]
+    j14 = rng.uniform(size=(20, V)).astype(np.float32)  # truncated to 14
+    j14 /= j14.sum(1, keepdims=True)
+    j14_path = tmp_path / "j14.npy"
+    np.save(j14_path, j14)
+
+    def tiny_builder(exp_cfg, checkpoint_path=""):
+        return build_body_head(exp_cfg, body_model=body)
+
+    cfg = {
+        "body_model": {"type": "smplx", "model_folder": "",
+                       "smplx": {"betas": {"num": 10}}},
+        "j14_regressor_path": str(j14_path),
+        "network": {
+            "type": "SMPLXRegressor",
+            "smplx": {
+                "num_stages": 2,
+                "predict_hands": False,
+                "predict_face": False,
+                "backbone": {"type": "resnet", "depth": 18},
+                "mlp": {"layers": [32], "dropout": 0.0},
+            },
+        },
+        "datasets": {
+            "batch_size": 3,
+            "pose_shape_ratio": 1.0,
+            "pose": {
+                "splits": {"test": ["threedpw"]},
+                "transforms": {"crop_size": 64},
+                "threedpw": {"data_folder": str(root)},
+            },
+        },
+    }
+
+    orig = demo_mod.build_demo_regressor
+    demo_mod.build_demo_regressor = tiny_builder
+    try:
+        rc = main(cfg, output_folder=str(tmp_path / "eval_out"),
+                  split="test")
+    finally:
+        demo_mod.build_demo_regressor = orig
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mpjpe14_root" in out
+    assert "mpjpe14_procrustes" in out

@@ -730,3 +730,40 @@ def test_alignment_point_error_parity(rng):
         np.testing.assert_allclose(
             np.asarray(our_hat) - np.asarray(our_gt), ref_hat - ref_gt,
             atol=5e-4, err_msg=name)
+
+
+def test_mpjpe14_parity(rng):
+    """mpjpe14 vs the ACTUAL reference computation (evaluation.py:161-190):
+    est14 = einsum('jv,bvn->bjn', J14_regressor, vertices) followed by
+    PointError under root([2, 3]) / procrustes alignments — exactly what
+    Evaluator.compute_batch_metrics emits as mpjpe14_{root,procrustes}."""
+    from shapy_tpu.eval.evaluator import Evaluator
+
+    rm = rc.load_ref_metrics()
+    B, V = 3, 120
+    verts = rng.normal(size=(B, V, 3)).astype(np.float32)
+    j14 = rng.uniform(size=(14, V)).astype(np.float32)
+    j14 /= j14.sum(axis=1, keepdims=True)
+    gt14 = (np.einsum("jv,bvn->bjn", j14, verts)
+            + 0.05 * rng.normal(size=(B, 14, 3))).astype(np.float32)
+
+    # Reference: einsum + PointError(alignment) per alignment, then the
+    # per-sample mean over joints (run() averages the flattened
+    # (B, J) metric array, evaluation.py:757-760).
+    est14_ref = np.einsum("jv,bvn->bjn", j14, verts)
+    ref_vals = {}
+    for name, root in (("root", [2, 3]), ("procrustes", None)):
+        align = (rm.build_alignment(name, root=root) if root
+                 else rm.build_alignment(name))
+        pe = rm.PointError(align)
+        ref_vals[name] = np.asarray(pe(est14_ref.copy(), gt14.copy()))
+
+    ev = Evaluator(j14_regressor=j14)
+    outputs = {"stage_02": {"vertices": jnp.asarray(verts)}}
+    targets = {"gt_joints14": jnp.asarray(gt14)}
+    metrics = ev.compute_batch_metrics(outputs, targets)
+    for name in ("root", "procrustes"):
+        ours = np.asarray(metrics[f"mpjpe14_{name}"])
+        np.testing.assert_allclose(
+            ours, ref_vals[name].reshape(B, -1).mean(axis=-1),
+            atol=5e-5, err_msg=name)
