@@ -515,3 +515,18 @@ def load_ref_metrics():
         "human_shape.utils.metrics",
         "regressor/human_shape/utils/metrics.py",
     )
+
+
+def load_ref_attr_models():
+    """attributes_betas/models.py (network zoo: MLP/ResNet/MoE/IMoE/RNN
+    iterative regressor). Loads the sibling polynomial module first for
+    the relative import."""
+    setup()
+    _load_file(
+        "attributes.attributes_betas.polynomial",
+        "attributes/attributes/attributes_betas/polynomial.py",
+    )
+    return _load_file(
+        "attributes.attributes_betas.models",
+        "attributes/attributes/attributes_betas/models.py",
+    )
