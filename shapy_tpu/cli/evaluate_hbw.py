@@ -83,7 +83,12 @@ def main(
     point_reg_fit: str = "",
     body_measurement_folder: str = "",
     body_model_folder: str = "",
+    faces_path: str = "",
 ) -> int:
+    """faces_path: optional npz with a 'faces' array — supplies the mesh
+    topology directly (e.g. from a previous demo/fit output) instead of
+    loading a licensed body model, for asset-free offline scoring of
+    same-topology submissions."""
     from shapy_tpu.eval.metrics import SparsePointRegressor
     from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
     from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
@@ -102,7 +107,20 @@ def main(
         )
 
     synthetic = os.environ.get("SHAPY_TPU_SYNTHETIC_BODY", "0") == "1"
-    if synthetic:
+    if faces_path:
+        faces = np.asarray(
+            np.load(os.path.expandvars(faces_path), allow_pickle=True)
+            ["faces"], np.int64)
+        meas = BodyMeasurements(
+            model_type="smplx",
+            meas_definition_path=os.path.join(
+                body_measurement_folder, "measurement_defitions.yaml"
+            ) if body_measurement_folder else None,
+        )
+        meas_fit = (meas if model_type == "smplx"
+                    else BodyMeasurements(model_type=model_type))
+        gt_faces = fit_faces = faces
+    elif synthetic:
         body = SMPLX(model_data=make_synthetic_model_data(
             "smplx", subdivisions=5))
         anchors = MeasurementAnchors.synthetic(
@@ -227,6 +245,9 @@ if __name__ == "__main__":
                              "(reference evaluate_hbw.py:213-218)")
     parser.add_argument("--check-format-only", action="store_true")
     parser.add_argument("--image-names-path", default="")
+    parser.add_argument("--faces-path", default="",
+                        help="npz with a 'faces' array: use this mesh "
+                             "topology instead of loading a body model")
     args = parser.parse_args()
     if args.check_format_only:
         sys.exit(
@@ -244,5 +265,6 @@ if __name__ == "__main__":
             args.point_reg_fit,
             args.body_measurement_folder,
             args.body_model_folder,
+            args.faces_path,
         )
     )

@@ -530,3 +530,17 @@ def load_ref_attr_models():
         "attributes.attributes_betas.models",
         "attributes/attributes/attributes_betas/models.py",
     )
+
+
+def load_ref_evaluate_hbw():
+    """hbw_evaluation/evaluate_hbw.py — the offline HBW scorer. Its
+    point_error + metric loop are pure numpy; the CUDA BodyMeasurements
+    and smplx imports are stubbed (measurement parity is pinned
+    separately on the recorded kernel goldens)."""
+    setup()
+    _ensure_module("smplx", {"create": None})
+    _ensure_module("body_measurements", {"BodyMeasurements": object})
+    return _load_file(
+        "hbw_evaluation.evaluate_hbw",
+        "regressor/hbw_evaluation/evaluate_hbw.py",
+    )
