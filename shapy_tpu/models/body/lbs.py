@@ -10,8 +10,11 @@ lbs.py:99-239`` (blend shapes -> joint regression -> pose-corrective offsets
     einsums over (B, V)-major layouts that XLA tiles onto the MXU,
   * everything is shape-static and differentiable end to end.
 
-An optional fused Pallas path lives in :mod:`shapy_tpu.ops.lbs_pallas`; this
-module is the canonical reference implementation and the autodiff path.
+A fused Pallas LBS kernel was built, parity-tested, measured at the hot
+shape (batch 128, V=10242, real v5e, chained-fori device timing) and
+DELETED in round 4: 0.18 ms vs 0.17 ms for this jnp path (tied — XLA
+fuses the contractions already) with no reverse-mode autodiff, while
+fwd+bwd here is 0.39 ms. This module is the production path.
 """
 
 from __future__ import annotations

@@ -9,8 +9,9 @@ from shapy_tpu.ops.tri_tri import (  # noqa: F401
     point_to_barycentric,
 )
 from shapy_tpu.ops.repulsion import repulsion_loss  # noqa: F401
-from shapy_tpu.ops.lbs_pallas import (  # noqa: F401
-    lbs_fused,
-    lbs_fused_from_rotmats,
-    pack_lbs_operands,
-)
+# The fused Pallas LBS kernel (ops/lbs_pallas.py) was DELETED in round 4
+# after measurement at the hot shape (batch 128, V=10242, real TPU,
+# chained-fori): jnp fwd 0.17 ms vs pallas fwd 0.18 ms (tied within
+# noise — XLA already fuses the three contractions well), and the pallas
+# path had no reverse-mode autodiff so it could never serve training.
+# LBS is 0.3% of the 58 ms eval step; numbers in BENCH.md round-4.
