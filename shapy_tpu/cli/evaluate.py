@@ -109,7 +109,9 @@ def main(exp_cfg: Dict, output_folder: str = "evaluation",
                     batch["height_gt"], batch["mass_gt"])
             yield out
 
-    evaluator = build_evaluator(exp_cfg, output_folder=output_folder)
+    evaluator = build_evaluator(
+        exp_cfg, output_folder=output_folder,
+        keypoint_names=regressor.model.keypoint_names)
     with evaluator:
         results = evaluator.run(
             model_fn,

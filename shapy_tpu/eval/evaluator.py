@@ -21,12 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shapy_tpu.eval.metrics import (
-    PointError,
-    SparsePointRegressor,
-    point_error,
-    translation_align,
-)
+from shapy_tpu.eval.metrics import PointError, SparsePointRegressor
 
 Array = jax.Array
 
@@ -131,6 +126,8 @@ class Evaluator:
         j14_regressor: Optional[np.ndarray] = None,
         mpjpe14_alignments: Dict[str, PointError] | None = None,
         render_summaries: bool = True,
+        v2v_alignments: Dict[str, PointError] | None = None,
+        v2v_t_alignments: Dict[str, PointError] | None = None,
     ):
         self.point_regressor = point_regressor
         self.target_point_regressor = target_point_regressor
@@ -154,6 +151,16 @@ class Evaluator:
         # Mesh-overlay summaries ride the host rasteriser; opt out for
         # metric-only runs (reference gates similarly via summary_steps).
         self.render_summaries = render_summaries
+        # Config-driven vertex-metric alignments (reference Metrics
+        # dataclass, config/defaults.py:29-35: v2v over
+        # procrustes/scale/translation, v2v_t over scale/translation).
+        # 'translation' keeps the bare metric name for back-compat.
+        self.v2v_alignments = v2v_alignments or {
+            "translation": PointError("translation"),
+        }
+        self.v2v_t_alignments = v2v_t_alignments or {
+            "translation": PointError("translation"),
+        }
 
     def __enter__(self):
         return self
@@ -177,10 +184,12 @@ class Evaluator:
         metrics: Dict[str, Array] = {}
 
         if "gt_v_shaped" in targets and "v_shaped" in stage:
-            est, gt = translation_align(
-                stage["v_shaped"], targets["gt_v_shaped"]
-            )
-            metrics["v2v_t"] = jnp.mean(point_error(est, gt), axis=-1)
+            for name, pe in self.v2v_t_alignments.items():
+                err = jnp.mean(
+                    pe(stage["v_shaped"], targets["gt_v_shaped"]),
+                    axis=-1)
+                key = "v2v_t" if name == "translation" else f"v2v_t_{name}"
+                metrics[key] = err
             if self.point_regressor is not None:
                 metrics["p2p_t"] = jnp.mean(
                     self.point_regressor(
@@ -192,10 +201,12 @@ class Evaluator:
                 )
 
         if "gt_vertices" in targets and "vertices" in stage:
-            est, gt = translation_align(
-                stage["vertices"], targets["gt_vertices"]
-            )
-            metrics["v2v"] = jnp.mean(point_error(est, gt), axis=-1)
+            for name, pe in self.v2v_alignments.items():
+                err = jnp.mean(
+                    pe(stage["vertices"], targets["gt_vertices"]),
+                    axis=-1)
+                key = "v2v" if name == "translation" else f"v2v_{name}"
+                metrics[key] = err
 
         if "gt_joints3d" in targets and "joints" in stage:
             gt = targets["gt_joints3d"]
@@ -443,11 +454,44 @@ class Evaluator:
             plt.close("all")
 
 
-def build_evaluator(exp_cfg: Optional[Dict] = None, **kwargs) -> Evaluator:
-    """Factory mirroring reference build_evaluator (evaluation.py:50-51)."""
+def build_evaluator(exp_cfg: Optional[Dict] = None,
+                    keypoint_names=None, **kwargs) -> Evaluator:
+    """Factory mirroring reference build_evaluator (evaluation.py:50-51)
+    + build_metric_utilities (evaluation.py:570-637): v2v / v2v_t /
+    mpjpe alignment sets and mpjpe root joints come from
+    ``evaluation.body`` config; root-joint NAMES are resolved against
+    ``keypoint_names`` (the model's joint order), reference
+    evaluation.py:585-598."""
     cfg = dict(exp_cfg or {})
     eval_cfg = dict(cfg.get("evaluation") or {}).get("body") or {}
     p2p_cfg = dict(eval_cfg.get("p2p_t") or {})
+
+    def point_errors(names, root=None):
+        out = {}
+        for name in names:
+            out[name] = PointError(
+                name, root=tuple(root) if (name == "root" and root)
+                else None)
+        return out
+
+    if "v2v" in eval_cfg and "v2v_alignments" not in kwargs:
+        kwargs["v2v_alignments"] = point_errors(eval_cfg["v2v"])
+    if "v2v_t" in eval_cfg and "v2v_t_alignments" not in kwargs:
+        kwargs["v2v_t_alignments"] = point_errors(eval_cfg["v2v_t"])
+    mpjpe_cfg = dict(eval_cfg.get("mpjpe") or {})
+    if mpjpe_cfg and "alignments" not in kwargs:
+        root_names = list(mpjpe_cfg.get("root_joints") or [])
+        root = None
+        if root_names and keypoint_names:
+            kn = list(keypoint_names)
+            root = [kn.index(n) for n in root_names if n in kn] or None
+        align_names = list(mpjpe_cfg.get("alignments")
+                           or ("root", "procrustes"))
+        kwargs["alignments"] = point_errors(align_names, root=root)
+        # mpjpe14 reuses the same alignment set with hips roots [2, 3]
+        # (reference evaluation.py:616-619)
+        kwargs.setdefault("mpjpe14_alignments",
+                          point_errors(align_names, root=[2, 3]))
     point_regressor = None
     target_regressor = None
     in_path = os.path.expandvars(

@@ -332,3 +332,42 @@ def test_image_summaries_predicted_camera(rng):
     # scale_first encoding of the SAME camera renders identically
     sf = render(0.4, scale_first=True)
     np.testing.assert_allclose(sf, shifted, atol=1e-6)
+
+
+def test_build_evaluator_config_driven_alignments(rng):
+    """Reference Metrics config (config/defaults.py:19-48): v2v/v2v_t
+    alignment tuples, mpjpe alignments + NAMED root joints resolved
+    against the model keypoint order (evaluation.py:570-637)."""
+    from shapy_tpu.eval.evaluator import build_evaluator
+
+    names = ["pelvis", "left_hip", "right_hip", "spine1", "head"]
+    ev = build_evaluator(
+        {
+            "evaluation": {"body": {
+                "v2v": ("procrustes", "scale", "translation"),
+                "v2v_t": ("scale", "translation"),
+                "mpjpe": {"alignments": ("root", "procrustes"),
+                          "root_joints": ("left_hip", "right_hip")},
+            }},
+        },
+        keypoint_names=names,
+    )
+    assert set(ev.v2v_alignments) == {"procrustes", "scale",
+                                      "translation"}
+    assert set(ev.v2v_t_alignments) == {"scale", "translation"}
+    assert set(ev.alignments) == {"root", "procrustes"}
+    assert set(ev.mpjpe14_alignments) == {"root", "procrustes"}
+
+    # root alignment actually uses joints 1, 2: shifting est by a
+    # constant and the configured roots to match gt => zero error
+    B, J = 2, 5
+    gt = rng.normal(size=(B, J, 3)).astype(np.float32)
+    est = gt + 7.0
+    err = ev.alignments["root"](jnp.asarray(est), jnp.asarray(gt))
+    np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-5)
+
+    # v2v emits one metric per configured alignment
+    outputs = {"stage_02": {"vertices": jnp.asarray(est)}}
+    targets = {"gt_vertices": jnp.asarray(gt)}
+    m = ev.compute_batch_metrics(outputs, targets)
+    assert {"v2v", "v2v_scale", "v2v_procrustes"} <= set(m)
