@@ -1,0 +1,282 @@
+"""Production export / serving artifacts via ``jax.export`` (StableHLO).
+
+The reference has no export or serving subsystem — its serving story is
+re-running the demo loop in a Python process with the full model-building
+code imported (``regressor/demo.py:122-355``). On TPU the idiomatic
+production path is ahead-of-time export: trace the flagship forward once,
+serialize it as StableHLO with jax.export's versioning guarantees, and
+reload it in a serving process that needs neither the model-construction
+code nor the config stack.
+
+Artifact layout (a directory)::
+
+    model.jaxexport    serialized jax.export.Exported:
+                         fn(params, model_params, images) -> outputs
+    params.npz         regressor parameters, path-keyed flat npz
+    model_params.npz   body-model constants (blend shapes, regressors)
+    metadata.json      jax version, platforms, signature, output tree
+
+Two deliberate design points:
+
+- **Weights are artifact inputs, not embedded constants.** Closing the
+  network weights + SMPL-X blend shapes (~100 MB at full scale) into the
+  traced function would embed them verbatim in the serialized module
+  (measured cost documented at ``BodyRegressor.apply``'s ``model_params``
+  note: closure-captured arrays bloat the HLO proto and slow every
+  compile). Keeping them as inputs makes the export fast, the artifact
+  compact, and checkpoints swappable without re-export.
+- **The batch dimension is symbolic by default** (shape polymorphism):
+  one artifact serves every batch size. Pass ``batch_size=N`` for a
+  fixed-shape export when the serving fleet pads to known buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "FLAGSHIP_OUTPUT_KEYS",
+    "make_serving_fn",
+    "export_regressor",
+    "save_serving_artifact",
+    "ServingModel",
+    "flatten_params",
+    "unflatten_params",
+]
+
+# Key separator for the flat npz: \x1f (ASCII unit separator) never
+# appears in parameter names (they use '/', '.', alphanumerics).
+_SEP = "\x1f"
+
+# Default serving outputs: the reference demo's npz export surface
+# (regressor/demo.py:336-353 saves the decoded stage params + camera),
+# plus the virtual measurements.
+FLAGSHIP_OUTPUT_KEYS = (
+    "betas",
+    "vertices",
+    "v_shaped",
+    "joints",
+    "proj_joints",
+    "camera_parameters",
+    "measurements",
+)
+
+
+def flatten_params(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested-dict pytree -> flat {joined-path: array} dict."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, value in tree.items():
+        if not isinstance(key, str):
+            raise TypeError(f"non-string pytree key {key!r}")
+        path = f"{prefix}{_SEP}{key}" if prefix else key
+        if isinstance(value, dict):
+            flat.update(flatten_params(value, path))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, value in flat.items():
+        parts = path.split(_SEP)
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def _array_only(tree):
+    """Drop non-array leaves (e.g. the weak-persp ``scale_first`` bool)
+    so the serving function is a valid jit return."""
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            kept = _array_only(v)
+            if kept is not None:
+                out[k] = kept
+        return out or None
+    if isinstance(tree, jnp.ndarray):
+        return tree
+    return None
+
+
+def make_serving_fn(regressor, outputs: Optional[Sequence[str]] = None):
+    """Eval-mode forward closing over only static structure.
+
+    Returns ``fn(params, model_params, images) -> dict`` with the
+    requested output keys (default :data:`FLAGSHIP_OUTPUT_KEYS`).
+    BN runs folded (eval default), the backbone in the regressor's
+    configured compute dtype.
+    """
+    keys = tuple(outputs or FLAGSHIP_OUTPUT_KEYS)
+    last_key = f"stage_{regressor.num_stages - 1:02d}"
+
+    def serving_fn(params, model_params, images):
+        out = regressor.apply(params, images, model_params=model_params)
+        last = out[last_key]
+        result = {}
+        for key in keys:
+            if key in last:
+                result[key] = last[key]
+            elif key in out:
+                result[key] = out[key]
+        return _array_only(result)
+
+    return serving_fn
+
+
+def export_regressor(
+    regressor,
+    *,
+    batch_size: Optional[int] = None,
+    image_size: int = 256,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    outputs: Optional[Sequence[str]] = None,
+):
+    """Trace + export the flagship forward.
+
+    ``batch_size=None`` exports with a symbolic batch dimension. Returns
+    ``(exported, metadata)`` where ``exported`` is a
+    ``jax.export.Exported`` and ``metadata`` a JSON-able description.
+    """
+    import jax
+    from jax import export as jex
+
+    fn = make_serving_fn(regressor, outputs)
+
+    if batch_size is None:
+        (bdim,) = jex.symbolic_shape("b")
+        batch: Any = bdim
+    else:
+        batch = int(batch_size)
+
+    image_spec = jax.ShapeDtypeStruct(
+        (batch, image_size, image_size, 3), np.float32
+    )
+    param_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), regressor.params
+    )
+    model_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        regressor.model.params,
+    )
+
+    exported = jex.export(jax.jit(fn), platforms=list(platforms))(
+        param_specs, model_specs, image_spec
+    )
+
+    out_tree = jax.tree.map(
+        lambda s: {"shape": [str(d) for d in s.shape],
+                   "dtype": str(s.dtype)},
+        exported.out_avals,
+    )
+    metadata = {
+        "format": "shapy_tpu.serving/1",
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "batch": "symbolic" if batch_size is None else int(batch_size),
+        "image_size": int(image_size),
+        "input_layout": "NHWC float32, demo normalization",
+        "num_stages": int(regressor.num_stages),
+        "outputs": jax.tree.map(lambda x: x, out_tree),
+        "calling_convention": "exported.call(params, model_params, images)",
+    }
+    return exported, metadata
+
+
+def save_serving_artifact(
+    out_dir: str,
+    regressor,
+    *,
+    batch_size: Optional[int] = None,
+    image_size: int = 256,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    outputs: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export ``regressor`` and write the full serving artifact directory."""
+    exported, metadata = export_regressor(
+        regressor,
+        batch_size=batch_size,
+        image_size=image_size,
+        platforms=platforms,
+        outputs=outputs,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "model.jaxexport"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(out_dir, "params.npz"),
+             **flatten_params(regressor.params))
+    np.savez(os.path.join(out_dir, "model_params.npz"),
+             **flatten_params(regressor.model.params))
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2, sort_keys=True)
+    return metadata
+
+
+class ServingModel:
+    """Reload + run a serving artifact without the model-building code.
+
+    >>> served = ServingModel.load("/path/to/artifact")
+    >>> out = served.predict(images)          # (B, H, W, 3) float32
+    """
+
+    def __init__(self, exported, params, model_params,
+                 metadata: Dict[str, Any]):
+        self.exported = exported
+        self.params = params
+        self.model_params = model_params
+        self.metadata = metadata
+        self._jitted = None
+
+    @classmethod
+    def load(cls, artifact_dir: str) -> "ServingModel":
+        from jax import export as jex
+
+        with open(os.path.join(artifact_dir, "model.jaxexport"), "rb") as f:
+            exported = jex.deserialize(f.read())
+        with open(os.path.join(artifact_dir, "metadata.json")) as f:
+            metadata = json.load(f)
+
+        def _load_npz(name):
+            with np.load(os.path.join(artifact_dir, name)) as data:
+                return unflatten_params({k: data[k] for k in data.files})
+
+        return cls(exported, _load_npz("params.npz"),
+                   _load_npz("model_params.npz"), metadata)
+
+    def update_params(self, params) -> None:
+        """Swap in new weights (same tree/shapes) without re-export."""
+        self.params = params
+        self._jitted = None
+
+    def predict(self, images) -> Dict[str, Any]:
+        import jax
+
+        expected = self.metadata.get("image_size")
+        if expected and tuple(np.shape(images)[1:]) != (expected, expected, 3):
+            raise ValueError(
+                f"images must be (B, {expected}, {expected}, 3); got "
+                f"{np.shape(images)}"
+            )
+        batch = self.metadata.get("batch")
+        if batch != "symbolic" and np.shape(images)[0] != batch:
+            raise ValueError(
+                f"artifact was exported at fixed batch {batch}; got "
+                f"batch {np.shape(images)[0]}"
+            )
+        if self._jitted is None:
+            # Wrap the exported call in jit so repeated predicts reuse
+            # the executable instead of re-lowering per call.
+            self._jitted = jax.jit(self.exported.call)
+        return self._jitted(
+            self.params, self.model_params,
+            np.asarray(images, np.float32),
+        )

@@ -56,10 +56,19 @@ def _as_rotmats(pose: Optional[Array], batch: int, n: int, dtype) -> Array:
 
 
 def _batch_size(*arrays) -> int:
+    # max() over leading dims, but safe under jax.export shape
+    # polymorphism: comparing a symbolic batch dim against a literal is
+    # inconclusive, so symbolic dims simply replace the literal-1 default
+    # (broadcast-from-1 semantics are preserved for concrete shapes).
     b = 1
     for a in arrays:
-        if a is not None:
-            b = max(b, a.shape[0])
+        if a is None:
+            continue
+        d = a.shape[0]
+        if isinstance(d, int):
+            b = d if (isinstance(b, int) and d > b) else b
+        elif isinstance(b, int):
+            b = d
     return b
 
 

@@ -1,0 +1,105 @@
+"""Serving-artifact export: round-trip serialization, shape polymorphism,
+weight swapping (shapy_tpu/io/export.py). The reference has no serving
+subsystem (demo loop only, regressor/demo.py:122-355); these tests pin
+the TPU-native export path's numerics instead of reference parity."""
+
+import importlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def tiny_regressor():
+    mod = importlib.import_module("__graft_entry__")
+    return mod._build_flagship(subdivisions=1, mlp_layers=(32,),
+                               backbone="resnet50")
+
+
+def _images(batch, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+
+
+def test_flatten_unflatten_roundtrip(tiny_regressor):
+    import jax
+
+    from shapy_tpu.io.export import flatten_params, unflatten_params
+
+    flat = flatten_params(tiny_regressor.params)
+    assert all(isinstance(k, str) for k in flat)
+    tree = unflatten_params(flat)
+    want_leaves = jax.tree_util.tree_leaves_with_path(tiny_regressor.params)
+    got_leaves = jax.tree_util.tree_leaves_with_path(tree)
+    assert len(want_leaves) == len(got_leaves)
+    for (wp, wl), (gp, gl) in zip(sorted(want_leaves, key=lambda t: str(t[0])),
+                                  sorted(got_leaves, key=lambda t: str(t[0]))):
+        assert str(wp) == str(gp)
+        np.testing.assert_array_equal(np.asarray(wl), np.asarray(gl))
+
+
+def test_symbolic_batch_artifact_roundtrip(tiny_regressor, tmp_path):
+    from shapy_tpu.io.export import (ServingModel, make_serving_fn,
+                                     save_serving_artifact)
+
+    art = str(tmp_path / "artifact")
+    meta = save_serving_artifact(
+        art, tiny_regressor, image_size=64, platforms=("cpu",),
+    )
+    assert meta["batch"] == "symbolic"
+
+    served = ServingModel.load(art)
+    fn = make_serving_fn(tiny_regressor)
+    for batch in (1, 3):
+        images = _images(batch)
+        got = served.predict(images)
+        want = fn(tiny_regressor.params, tiny_regressor.model.params, images)
+        assert got["vertices"].shape[0] == batch
+        assert set(got["measurements"]) == {"mass", "height", "chest",
+                                            "waist", "hips"}
+        import jax
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+            got, want,
+        )
+
+
+def test_fixed_batch_artifact_rejects_other_batch(tiny_regressor, tmp_path):
+    from shapy_tpu.io.export import ServingModel, save_serving_artifact
+
+    art = str(tmp_path / "fixed")
+    meta = save_serving_artifact(
+        art, tiny_regressor, batch_size=2, image_size=64, platforms=("cpu",),
+    )
+    assert meta["batch"] == 2
+    served = ServingModel.load(art)
+    out = served.predict(_images(2))
+    assert out["betas"].shape == (2, 10)
+    with pytest.raises(ValueError, match="fixed batch"):
+        served.predict(_images(3))
+    with pytest.raises(ValueError, match="images must be"):
+        served.predict(np.zeros((2, 32, 32, 3), np.float32))
+
+
+def test_weight_swap_without_reexport(tiny_regressor, tmp_path):
+    import jax
+
+    from shapy_tpu.io.export import ServingModel, save_serving_artifact
+
+    art = str(tmp_path / "swap")
+    save_serving_artifact(art, tiny_regressor, image_size=64,
+                          platforms=("cpu",))
+    served = ServingModel.load(art)
+    images = _images(2, seed=1)
+    base = np.asarray(served.predict(images)["betas"])
+
+    bumped = jax.tree.map(lambda a: a, served.params)
+    bumped["param_mean"] = bumped["param_mean"] + 0.25
+    served.update_params(bumped)
+    swapped = np.asarray(served.predict(images)["betas"])
+    assert np.max(np.abs(swapped - base)) > 1e-3
