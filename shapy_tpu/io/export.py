@@ -140,12 +140,20 @@ def export_regressor(
     image_size: int = 256,
     platforms: Sequence[str] = ("tpu", "cpu"),
     outputs: Optional[Sequence[str]] = None,
+    mesh=None,
 ):
     """Trace + export the flagship forward.
 
     ``batch_size=None`` exports with a symbolic batch dimension. Returns
     ``(exported, metadata)`` where ``exported`` is a
     ``jax.export.Exported`` and ``metadata`` a JSON-able description.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for pod serving — the export is
+    traced under GSPMD with the batch sharded over the mesh's first axis
+    and weights replicated, so one artifact serves a whole slice via
+    data-parallel inference (the calling process must hold a mesh with
+    the same device count). Requires a fixed ``batch_size`` divisible by
+    the data-axis size.
     """
     import jax
     from jax import export as jex
@@ -153,6 +161,8 @@ def export_regressor(
     fn = make_serving_fn(regressor, outputs)
 
     if batch_size is None:
+        if mesh is not None:
+            raise ValueError("sharded export requires a fixed batch_size")
         (bdim,) = jex.symbolic_shape("b")
         batch: Any = bdim
     else:
@@ -169,7 +179,24 @@ def export_regressor(
         regressor.model.params,
     )
 
-    exported = jex.export(jax.jit(fn), platforms=list(platforms))(
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_axis = mesh.axis_names[0]
+        if batch % mesh.shape[data_axis] != 0:
+            raise ValueError(
+                f"batch_size {batch} not divisible by data-axis size "
+                f"{mesh.shape[data_axis]}"
+            )
+        replicated = NamedSharding(mesh, PartitionSpec())
+        batch_sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+        jitted = jax.jit(
+            fn, in_shardings=(replicated, replicated, batch_sharded)
+        )
+    else:
+        jitted = jax.jit(fn)
+
+    exported = jex.export(jitted, platforms=list(platforms))(
         param_specs, model_specs, image_spec
     )
 
@@ -183,6 +210,10 @@ def export_regressor(
         "jax_version": jax.__version__,
         "platforms": list(exported.platforms),
         "batch": "symbolic" if batch_size is None else int(batch_size),
+        "mesh": (None if mesh is None else
+                 {"axis_names": list(mesh.axis_names),
+                  "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
+                  "num_devices": int(mesh.size)}),
         "image_size": int(image_size),
         "input_layout": "NHWC float32, demo normalization",
         "num_stages": int(regressor.num_stages),

@@ -86,6 +86,52 @@ def test_fixed_batch_artifact_rejects_other_batch(tiny_regressor, tmp_path):
         served.predict(np.zeros((2, 32, 32, 3), np.float32))
 
 
+def test_sharded_export_matches_single_device(tiny_regressor):
+    """Pod-serving export: the GSPMD batch-sharded artifact round-trips
+    through serialize/deserialize and matches the unsharded path on the
+    8-device virtual mesh."""
+    import jax
+    from jax import export as jex
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shapy_tpu.io.export import export_regressor, make_serving_fn
+    from shapy_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+
+    exported, meta = export_regressor(
+        tiny_regressor, batch_size=8, image_size=64, platforms=("cpu",),
+        mesh=mesh,
+    )
+    assert meta["mesh"]["num_devices"] == 8
+    restored = jex.deserialize(exported.serialize())
+
+    images = _images(8)
+    params = jax.device_put(tiny_regressor.params,
+                            NamedSharding(mesh, P()))
+    model_params = jax.device_put(tiny_regressor.model.params,
+                                  NamedSharding(mesh, P()))
+    sharded_images = jax.device_put(
+        images, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+    got = restored.call(params, model_params, sharded_images)
+    fn = make_serving_fn(tiny_regressor)
+    want = fn(tiny_regressor.params, tiny_regressor.model.params, images)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5),
+        got, want,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        export_regressor(tiny_regressor, batch_size=9, image_size=64,
+                         platforms=("cpu",), mesh=mesh)
+    with pytest.raises(ValueError, match="fixed batch_size"):
+        export_regressor(tiny_regressor, image_size=64,
+                         platforms=("cpu",), mesh=mesh)
+
+
 def test_weight_swap_without_reexport(tiny_regressor, tmp_path):
     import jax
 
