@@ -270,9 +270,11 @@ def main() -> None:
     from __graft_entry__ import _build_flagship
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
-    # subdivisions=5 -> 10242 vertices / 20480 faces, matching the real
-    # SMPL-X mesh scale (10475 / 20908) so LBS + measurement cost is honest.
-    regressor = _build_flagship(subdivisions=5)
+    # exact_counts: icosphere subdiv 5 refined by edge splits/face drops to
+    # EXACTLY the real SMPL-X template sizes (10475 vertices / 20908
+    # faces), so LBS + measurement cost is shape-exact, not just
+    # scale-matched.
+    regressor = _build_flagship(subdivisions=5, exact_counts=True)
     # bf16 backbone (MXU-native), f32 head/LBS/measurements. (An int8
     # backbone was measured and rejected: XLA's int8 conv lowering is
     # 3.7x slower than bf16 on this chip — see BENCH.md.)

@@ -108,11 +108,112 @@ def icosphere(subdivisions: int = 2) -> tuple[np.ndarray, np.ndarray]:
     return verts, faces
 
 
+# The real template mesh sizes (reference body_models.py: SMPL 6890 verts /
+# 13776 faces; SMPL-X 10475 / 20908 — SMPL-X is non-closed, 2V-4 != F).
+REAL_MESH_COUNTS = {
+    "smpl": (6890, 13776),
+    "smplh": (6890, 13776),
+    "smplx": (10475, 20908),
+}
+
+
+def refine_to_counts(
+    verts: np.ndarray, faces: np.ndarray, target_v: int, target_f: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Refine a closed triangle mesh to EXACT (V, F) counts.
+
+    Uniform subdivision quadruples face counts, so the real template
+    sizes (e.g. SMPL-X 10475/20908) are unreachable by ``icosphere``
+    alone. Splitting one edge adds 1 vertex and 2 faces; dropping a face
+    afterwards adjusts F alone (legitimate: the real SMPL-X template is
+    likewise non-closed). Splits run in rounds of pairwise-independent
+    edges (no shared adjacent faces) so each round's midpoints are
+    computed against a consistent topology. Deterministic.
+    """
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    n_drop_final = faces.shape[0] + 2 * (target_v - verts.shape[0]) - target_f
+    if target_v < verts.shape[0] or n_drop_final < 0:
+        raise ValueError(
+            f"cannot reach (V={target_v}, F={target_f}) from "
+            f"({verts.shape[0]}, {faces.shape[0]}) by edge splits"
+        )
+
+    touched_new = np.zeros(0, dtype=bool)  # faces created by splitting
+    while verts.shape[0] < target_v:
+        need = target_v - verts.shape[0]
+        # Undirected edge -> (face, face) adjacency.
+        e = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+        )
+        order = np.argsort(
+            np.sort(e, axis=1)[:, 0] * (verts.shape[0] + 1)
+            + np.sort(e, axis=1)[:, 1], kind="stable"
+        )
+        face_of = order % faces.shape[0]
+        used = np.zeros(faces.shape[0], dtype=bool)
+        chosen: list[tuple[int, int, int, int]] = []  # (a, b, f1, f2)
+        for i in range(0, len(order) - 1, 2):
+            if len(chosen) == need:
+                break
+            f1, f2 = int(face_of[i]), int(face_of[i + 1])
+            if used[f1] or used[f2] or f1 == f2:
+                continue
+            a, b = (int(v) for v in np.sort(e[order[i]]))
+            used[f1] = used[f2] = True
+            chosen.append((a, b, f1, f2))
+        if not chosen:
+            raise ValueError("no independent edges left to split")
+
+        new_faces = []
+        drop = np.zeros(faces.shape[0], dtype=bool)
+        mids = []
+        for k, (a, b, f1, f2) in enumerate(chosen):
+            m = verts.shape[0] + k
+            mids.append(0.5 * (verts[a] + verts[b]))
+            for fi in (f1, f2):
+                tri = faces[fi]
+                # Winding-preserving split: the edge appears as a cyclic
+                # pair (p, q); emit (p, m, r) and (m, q, r).
+                for j in range(3):
+                    p, q = int(tri[j]), int(tri[(j + 1) % 3])
+                    if {p, q} == {a, b}:
+                        r = int(tri[(j + 2) % 3])
+                        new_faces.append([p, m, r])
+                        new_faces.append([m, q, r])
+                        break
+                drop[fi] = True
+        verts = np.concatenate([verts, np.asarray(mids)], axis=0)
+        faces = np.concatenate(
+            [faces[~drop], np.asarray(new_faces, np.int64)], axis=0
+        )
+        touched_new = np.concatenate(
+            [np.zeros(int((~drop).sum()), dtype=bool),
+             np.ones(len(new_faces), dtype=bool)]
+        )
+
+    n_drop = faces.shape[0] - target_f
+    if n_drop:
+        # Drop untouched faces in a band at ~87% height: between the
+        # chest plane (0.72) and the head-top anchor (0.999) of
+        # MeasurementAnchors.synthetic, so slices and anchors see an
+        # intact surface.
+        y = verts[faces].mean(axis=1)[:, 1]
+        band = y.min() + 0.87 * (y.max() - y.min())
+        score = np.abs(y - band) + np.where(touched_new, 1e9, 0.0)
+        keep = np.ones(faces.shape[0], dtype=bool)
+        keep[np.argsort(score, kind="stable")[:n_drop]] = False
+        faces = faces[keep]
+    assert verts.shape[0] == target_v and faces.shape[0] == target_f
+    return verts, faces
+
+
 def make_synthetic_model_data(
     model_type: str = "smplx",
     subdivisions: int = 2,
     seed: int = 0,
     num_shape_dirs: Optional[int] = None,
+    exact_counts: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Build a schema-compatible synthetic body model.
 
@@ -120,10 +221,19 @@ def make_synthetic_model_data(
     volume / height / plane-slice measurements are well-defined), the
     skeleton is a star of chains hanging off a root, and all bases are
     small-magnitude smooth random fields so LBS outputs stay non-degenerate.
+
+    ``exact_counts=True`` refines the mesh to the REAL template's exact
+    vertex/face counts (:data:`REAL_MESH_COUNTS`, e.g. SMPL-X
+    10475/20908) via :func:`refine_to_counts`, so benchmark shapes match
+    the licensed assets exactly; ``subdivisions`` then sets the base
+    mesh, which must not exceed the target (SMPL-X: 5, SMPL: 4).
     """
     rng = np.random.default_rng(seed)
     J = NUM_JOINTS[model_type]
     verts, faces = icosphere(subdivisions)
+    if exact_counts:
+        target_v, target_f = REAL_MESH_COUNTS[model_type]
+        verts, faces = refine_to_counts(verts, faces, target_v, target_f)
     # Body-like proportions: ~0.35 m wide, ~1.7 m tall, ~0.25 m deep.
     verts = verts * np.array([0.35, 0.85, 0.25])
     V = verts.shape[0]

@@ -156,3 +156,35 @@ def test_smpl_mixed_batch_broadcast(rng, smpl_data):
     # and the shape term is shared: all items share v_shaped
     vs = np.asarray(out["v_shaped"])
     np.testing.assert_allclose(vs[0], vs[-1], atol=1e-6)
+
+
+def test_exact_count_synthetic_meshes():
+    """exact_counts refinement hits the REAL template sizes (reference
+    body_models.py: SMPL 6890/13776, SMPL-X 10475/20908) and the full
+    measurement pipeline stays well-defined on the refined mesh."""
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import make_synthetic_model_data
+    from shapy_tpu.models.body.assets import REAL_MESH_COUNTS
+
+    for model_type, sub in (("smplx", 5), ("smpl", 4)):
+        data = make_synthetic_model_data(model_type, subdivisions=sub,
+                                         exact_counts=True)
+        v, f = data["v_template"], data["f"]
+        assert (v.shape[0], f.shape[0]) == REAL_MESH_COUNTS[model_type]
+        assert f.min() >= 0 and f.max() < v.shape[0]
+        # Winding stayed consistent through the edge splits: positive
+        # enclosed volume, no inverted faces.
+        vol = np.einsum("ij,ij->i", v[f[:, 0]],
+                        np.cross(v[f[:, 1]], v[f[:, 2]])).sum() / 6
+        assert vol > 0.2
+
+    data = make_synthetic_model_data("smpl", subdivisions=4,
+                                     exact_counts=True)
+    v = jnp.asarray(data["v_template"])[None]
+    faces = np.asarray(data["f"])
+    anchors = MeasurementAnchors.synthetic(faces, np.asarray(v[0]))
+    meas = BodyMeasurements(anchors=anchors)
+    out = meas.forward_from_vertices(v, faces)["measurements"]
+    for key in ("mass", "height", "chest", "waist", "hips"):
+        value = float(out[key]["tensor"][0])
+        assert np.isfinite(value) and value > 0
