@@ -33,6 +33,12 @@ def main() -> int:
                         help="fixed batch size (default: symbolic batch)")
     parser.add_argument("--image-size", type=int, default=256)
     parser.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    parser.add_argument("--from-full-images", action="store_true",
+                        help="export the fused ingest path: uint8 full "
+                             "frames + crop affines, on-device "
+                             "crop/normalize (4x smaller transfers)")
+    parser.add_argument("--full-image-size", nargs=2, type=int,
+                        default=[480, 360], metavar=("H", "W"))
     parser.add_argument("--check", action="store_true",
                         help="reload the artifact and verify numerics")
     args = parser.parse_args()
@@ -53,20 +59,37 @@ def main() -> int:
         batch_size=args.batch_size,
         image_size=args.image_size,
         platforms=args.platforms,
+        from_full_images=args.from_full_images,
+        full_image_size=tuple(args.full_image_size),
     )
     print(f"wrote serving artifact to {args.output_dir} "
-          f"(platforms={metadata['platforms']}, batch={metadata['batch']})")
+          f"(platforms={metadata['platforms']}, batch={metadata['batch']}, "
+          f"input={metadata['input_layout']})")
 
     if args.check:
         served = ServingModel.load(args.output_dir)
         batch = args.batch_size or 2
         rng = np.random.RandomState(0)
-        images = rng.uniform(
-            -1, 1, (batch, args.image_size, args.image_size, 3)
-        ).astype(np.float32)
-        got = served.predict(images)
-        fn = make_serving_fn(regressor)
-        want = fn(regressor.params, regressor.model.params, images)
+        fn = make_serving_fn(regressor,
+                             from_full_images=args.from_full_images,
+                             crop_size=args.image_size)
+        if args.from_full_images:
+            height, width = args.full_image_size
+            frames = rng.randint(0, 256, (batch, height, width, 3)
+                                 ).astype(np.uint8)
+            scale = np.diag([width / args.image_size,
+                             height / args.image_size, 1.0]
+                            ).astype(np.float32)
+            affines = np.broadcast_to(scale, (batch, 3, 3)).copy()
+            got = served.predict(frames, affines)
+            want = fn(regressor.params, regressor.model.params,
+                      frames, affines)
+        else:
+            images = rng.uniform(
+                -1, 1, (batch, args.image_size, args.image_size, 3)
+            ).astype(np.float32)
+            got = served.predict(images)
+            want = fn(regressor.params, regressor.model.params, images)
 
         import jax
 

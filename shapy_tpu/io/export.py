@@ -108,19 +108,25 @@ def _array_only(tree):
     return None
 
 
-def make_serving_fn(regressor, outputs: Optional[Sequence[str]] = None):
+def make_serving_fn(regressor, outputs: Optional[Sequence[str]] = None,
+                    from_full_images: bool = False, crop_size: int = 256):
     """Eval-mode forward closing over only static structure.
 
     Returns ``fn(params, model_params, images) -> dict`` with the
     requested output keys (default :data:`FLAGSHIP_OUTPUT_KEYS`).
     BN runs folded (eval default), the backbone in the regressor's
     configured compute dtype.
+
+    ``from_full_images=True`` exports the production ingest path
+    instead: ``fn(params, model_params, full_images_u8, affines)`` takes
+    raw uint8 frames + crop->image affines and runs the fused on-device
+    decode/crop/normalize (``apply_from_full_images``) — a 4x smaller
+    host->device transfer than f32 crops.
     """
     keys = tuple(outputs or FLAGSHIP_OUTPUT_KEYS)
     last_key = f"stage_{regressor.num_stages - 1:02d}"
 
-    def serving_fn(params, model_params, images):
-        out = regressor.apply(params, images, model_params=model_params)
+    def _select(out):
         last = out[last_key]
         result = {}
         for key in keys:
@@ -129,6 +135,17 @@ def make_serving_fn(regressor, outputs: Optional[Sequence[str]] = None):
             elif key in out:
                 result[key] = out[key]
         return _array_only(result)
+
+    if from_full_images:
+        def serving_fn(params, model_params, full_images, affines):
+            return _select(regressor.apply_from_full_images(
+                params, full_images, affines, crop_size=crop_size,
+                model_params=model_params,
+            ))
+    else:
+        def serving_fn(params, model_params, images):
+            return _select(regressor.apply(
+                params, images, model_params=model_params))
 
     return serving_fn
 
@@ -141,6 +158,8 @@ def export_regressor(
     platforms: Sequence[str] = ("tpu", "cpu"),
     outputs: Optional[Sequence[str]] = None,
     mesh=None,
+    from_full_images: bool = False,
+    full_image_size: Tuple[int, int] = (480, 360),
 ):
     """Trace + export the flagship forward.
 
@@ -158,7 +177,9 @@ def export_regressor(
     import jax
     from jax import export as jex
 
-    fn = make_serving_fn(regressor, outputs)
+    fn = make_serving_fn(regressor, outputs,
+                         from_full_images=from_full_images,
+                         crop_size=image_size)
 
     if batch_size is None:
         if mesh is not None:
@@ -168,9 +189,16 @@ def export_regressor(
     else:
         batch = int(batch_size)
 
-    image_spec = jax.ShapeDtypeStruct(
-        (batch, image_size, image_size, 3), np.float32
-    )
+    if from_full_images:
+        height, width = (int(s) for s in full_image_size)
+        image_spec: Any = (
+            jax.ShapeDtypeStruct((batch, height, width, 3), np.uint8),
+            jax.ShapeDtypeStruct((batch, 3, 3), np.float32),
+        )
+    else:
+        image_spec = jax.ShapeDtypeStruct(
+            (batch, image_size, image_size, 3), np.float32
+        )
     param_specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), regressor.params
     )
@@ -190,14 +218,19 @@ def export_regressor(
             )
         replicated = NamedSharding(mesh, PartitionSpec())
         batch_sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+        data_shardings = (
+            (batch_sharded, batch_sharded) if from_full_images
+            else (batch_sharded,)
+        )
         jitted = jax.jit(
-            fn, in_shardings=(replicated, replicated, batch_sharded)
+            fn, in_shardings=(replicated, replicated) + data_shardings
         )
     else:
         jitted = jax.jit(fn)
 
+    data_specs = image_spec if isinstance(image_spec, tuple) else (image_spec,)
     exported = jex.export(jitted, platforms=list(platforms))(
-        param_specs, model_specs, image_spec
+        param_specs, model_specs, *data_specs
     )
 
     out_tree = jax.tree.map(
@@ -215,7 +248,13 @@ def export_regressor(
                   "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
                   "num_devices": int(mesh.size)}),
         "image_size": int(image_size),
-        "input_layout": "NHWC float32, demo normalization",
+        "from_full_images": bool(from_full_images),
+        "full_image_size": (list(int(s) for s in full_image_size)
+                            if from_full_images else None),
+        "input_layout": (
+            "uint8 full frames (B,H,W,3) + crop->image affines (B,3,3); "
+            "on-device decode/crop/normalize" if from_full_images
+            else "NHWC float32, demo normalization"),
         "num_stages": int(regressor.num_stages),
         "outputs": jax.tree.map(lambda x: x, out_tree),
         "calling_convention": "exported.call(params, model_params, images)",
@@ -231,6 +270,8 @@ def save_serving_artifact(
     image_size: int = 256,
     platforms: Sequence[str] = ("tpu", "cpu"),
     outputs: Optional[Sequence[str]] = None,
+    from_full_images: bool = False,
+    full_image_size: Tuple[int, int] = (480, 360),
 ) -> Dict[str, Any]:
     """Export ``regressor`` and write the full serving artifact directory."""
     exported, metadata = export_regressor(
@@ -239,6 +280,8 @@ def save_serving_artifact(
         image_size=image_size,
         platforms=platforms,
         outputs=outputs,
+        from_full_images=from_full_images,
+        full_image_size=full_image_size,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "model.jaxexport"), "wb") as f:
@@ -288,13 +331,30 @@ class ServingModel:
         self.params = params
         self._jitted = None
 
-    def predict(self, images) -> Dict[str, Any]:
+    def predict(self, images, affines=None) -> Dict[str, Any]:
+        """Run the artifact. Crop-mode artifacts take normalised f32
+        crops; full-frame artifacts (``from_full_images`` in metadata)
+        take raw uint8 frames plus crop->image ``affines`` (B, 3, 3)."""
         import jax
 
-        expected = self.metadata.get("image_size")
-        if expected and tuple(np.shape(images)[1:]) != (expected, expected, 3):
+        full_frames = self.metadata.get("from_full_images", False)
+        if full_frames != (affines is not None):
             raise ValueError(
-                f"images must be (B, {expected}, {expected}, 3); got "
+                "full-frame artifacts require `affines`; crop artifacts "
+                "forbid it (from_full_images="
+                f"{full_frames})"
+            )
+        if full_frames:
+            want = tuple(self.metadata["full_image_size"]) + (3,)
+            data = (np.asarray(images, np.uint8),
+                    np.asarray(affines, np.float32))
+        else:
+            expected = self.metadata.get("image_size")
+            want = (expected, expected, 3)
+            data = (np.asarray(images, np.float32),)
+        if tuple(np.shape(images)[1:]) != want:
+            raise ValueError(
+                f"images must be (B, {', '.join(map(str, want))}); got "
                 f"{np.shape(images)}"
             )
         batch = self.metadata.get("batch")
@@ -307,7 +367,4 @@ class ServingModel:
             # Wrap the exported call in jit so repeated predicts reuse
             # the executable instead of re-lowering per call.
             self._jitted = jax.jit(self.exported.call)
-        return self._jitted(
-            self.params, self.model_params,
-            np.asarray(images, np.float32),
-        )
+        return self._jitted(self.params, self.model_params, *data)

@@ -86,6 +86,41 @@ def test_fixed_batch_artifact_rejects_other_batch(tiny_regressor, tmp_path):
         served.predict(np.zeros((2, 32, 32, 3), np.float32))
 
 
+def test_full_frame_ingest_artifact(tiny_regressor, tmp_path):
+    """from_full_images export: uint8 frames + affines in, fused
+    on-device crop/normalize, matches the live apply_from_full_images."""
+    import jax
+
+    from shapy_tpu.io.export import (ServingModel, make_serving_fn,
+                                     save_serving_artifact)
+
+    art = str(tmp_path / "frames")
+    meta = save_serving_artifact(
+        art, tiny_regressor, image_size=64, platforms=("cpu",),
+        from_full_images=True, full_image_size=(96, 80),
+    )
+    assert meta["from_full_images"] and meta["full_image_size"] == [96, 80]
+
+    served = ServingModel.load(art)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (3, 96, 80, 3)).astype(np.uint8)
+    scale = np.diag([80 / 64, 96 / 64, 1.0]).astype(np.float32)
+    affines = np.broadcast_to(scale, (3, 3, 3)).copy()
+
+    got = served.predict(frames, affines)
+    fn = make_serving_fn(tiny_regressor, from_full_images=True,
+                         crop_size=64)
+    want = fn(tiny_regressor.params, tiny_regressor.model.params,
+              frames, affines)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        got, want,
+    )
+    with pytest.raises(ValueError, match="require"):
+        served.predict(frames)  # affines are mandatory for this mode
+
+
 def test_sharded_export_matches_single_device(tiny_regressor):
     """Pod-serving export: the GSPMD batch-sharded artifact round-trips
     through serialize/deserialize and matches the unsharded path on the
