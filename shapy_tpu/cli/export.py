@@ -70,9 +70,15 @@ def main() -> int:
         served = ServingModel.load(args.output_dir)
         batch = args.batch_size or 2
         rng = np.random.RandomState(0)
-        fn = make_serving_fn(regressor,
-                             from_full_images=args.from_full_images,
-                             crop_size=args.image_size)
+        import jax
+
+        # jit the live reference too: compiled-vs-compiled keeps the
+        # comparison at numerical-noise level regardless of backbone
+        # compute dtype (eager-vs-compiled fusion differences can exceed
+        # a fixed tolerance for bf16 configs).
+        fn = jax.jit(make_serving_fn(
+            regressor, from_full_images=args.from_full_images,
+            crop_size=args.image_size))
         if args.from_full_images:
             height, width = args.full_image_size
             frames = rng.randint(0, 256, (batch, height, width, 3)
@@ -90,8 +96,6 @@ def main() -> int:
             ).astype(np.float32)
             got = served.predict(images)
             want = fn(regressor.params, regressor.model.params, images)
-
-        import jax
 
         errs = jax.tree.map(
             lambda a, b: float(np.max(np.abs(np.asarray(a, np.float64)

@@ -124,16 +124,30 @@ def make_serving_fn(regressor, outputs: Optional[Sequence[str]] = None,
     host->device transfer than f32 crops.
     """
     keys = tuple(outputs or FLAGSHIP_OUTPUT_KEYS)
+    explicit = outputs is not None
     last_key = f"stage_{regressor.num_stages - 1:02d}"
 
     def _select(out):
         last = out[last_key]
         result = {}
+        missing = []
         for key in keys:
             if key in last:
                 result[key] = last[key]
             elif key in out:
                 result[key] = out[key]
+            else:
+                missing.append(key)
+        # Explicitly requested keys must exist — a typo'd or
+        # configuration-absent output should fail at export time, not be
+        # discovered as a missing field at serving time. (The default
+        # key set tolerates absences: e.g. measurements when the model
+        # has no measurement module.)
+        if explicit and missing:
+            raise KeyError(
+                f"requested serving outputs not produced by this model: "
+                f"{missing}; available: {sorted(set(last) | set(out))}"
+            )
         return _array_only(result)
 
     if from_full_images:
@@ -233,10 +247,14 @@ def export_regressor(
         param_specs, model_specs, *data_specs
     )
 
+    # Rebuild the NAMED output tree (out_avals is the flat tuple): the
+    # artifact must be self-describing from metadata alone.
+    named_outputs = jax.tree.unflatten(exported.out_tree,
+                                       list(exported.out_avals))
     out_tree = jax.tree.map(
         lambda s: {"shape": [str(d) for d in s.shape],
                    "dtype": str(s.dtype)},
-        exported.out_avals,
+        named_outputs,
     )
     metadata = {
         "format": "shapy_tpu.serving/1",
@@ -257,7 +275,10 @@ def export_regressor(
             else "NHWC float32, demo normalization"),
         "num_stages": int(regressor.num_stages),
         "outputs": jax.tree.map(lambda x: x, out_tree),
-        "calling_convention": "exported.call(params, model_params, images)",
+        "calling_convention": (
+            "exported.call(params, model_params, full_images_u8, affines)"
+            if from_full_images
+            else "exported.call(params, model_params, images)"),
     }
     return exported, metadata
 
@@ -327,9 +348,13 @@ class ServingModel:
                    _load_npz("model_params.npz"), metadata)
 
     def update_params(self, params) -> None:
-        """Swap in new weights (same tree/shapes) without re-export."""
+        """Swap in new weights (same tree/shapes) without re-export.
+
+        The jit wrapper is deliberately kept: weights are call
+        *arguments*, so the executable cache hits for same-shape swaps —
+        no recompile on checkpoint update.
+        """
         self.params = params
-        self._jitted = None
 
     def predict(self, images, affines=None) -> Dict[str, Any]:
         """Run the artifact. Crop-mode artifacts take normalised f32
@@ -345,8 +370,19 @@ class ServingModel:
                 f"{full_frames})"
             )
         if full_frames:
+            frames = np.asarray(images)
+            if not np.issubdtype(frames.dtype, np.integer):
+                # The artifact was traced with a uint8 input spec; a
+                # silent cast would truncate [0,1] float frames to
+                # all-zero pixels. (The live apply_from_full_images
+                # accepts floats; the exported artifact does not.)
+                raise TypeError(
+                    "full-frame artifacts take raw uint8 frames "
+                    f"(got dtype {frames.dtype}); scale floats to 0-255 "
+                    "uint8 before predict()"
+                )
             want = tuple(self.metadata["full_image_size"]) + (3,)
-            data = (np.asarray(images, np.uint8),
+            data = (frames.astype(np.uint8),
                     np.asarray(affines, np.float32))
         else:
             expected = self.metadata.get("image_size")

@@ -139,7 +139,9 @@ def refine_to_counts(
             f"({verts.shape[0]}, {faces.shape[0]}) by edge splits"
         )
 
-    touched_new = np.zeros(0, dtype=bool)  # faces created by splitting
+    # Faces created by splitting (protected from the drop step below);
+    # sized for the drop-only case where the while loop never runs.
+    touched_new = np.zeros(faces.shape[0], dtype=bool)
     while verts.shape[0] < target_v:
         need = target_v - verts.shape[0]
         # Undirected edge -> (face, face) adjacency.

@@ -86,6 +86,55 @@ def test_fixed_batch_artifact_rejects_other_batch(tiny_regressor, tmp_path):
         served.predict(np.zeros((2, 32, 32, 3), np.float32))
 
 
+def test_export_review_regressions(tiny_regressor, tmp_path):
+    """Pins the round-4 review fixes: drop-only mesh refinement, named
+    output metadata, explicit-output validation, float-frame rejection,
+    and jit-cache retention across weight swaps."""
+    import jax
+
+    from shapy_tpu.io.export import (ServingModel, export_regressor,
+                                     save_serving_artifact)
+    from shapy_tpu.models.body.assets import icosphere, refine_to_counts
+
+    # Drop-only refinement (no splits) must work, not crash.
+    verts, faces = icosphere(2)
+    v2, f2 = refine_to_counts(verts, faces, verts.shape[0],
+                              faces.shape[0] - 10)
+    assert v2.shape[0] == verts.shape[0]
+    assert f2.shape[0] == faces.shape[0] - 10
+
+    # Typo'd explicit outputs fail at export time, not serving time.
+    with pytest.raises(KeyError, match="expresion"):
+        export_regressor(tiny_regressor, batch_size=1, image_size=64,
+                         platforms=("cpu",),
+                         outputs=["betas", "expresion"])
+
+    art = str(tmp_path / "meta")
+    meta = save_serving_artifact(art, tiny_regressor, image_size=64,
+                                 platforms=("cpu",))
+    # Self-describing metadata: named output tree, not a flat tuple.
+    assert "betas" in meta["outputs"]
+    assert "mass" in meta["outputs"]["measurements"]
+
+    served = ServingModel.load(art)
+    served.predict(_images(1))
+    jitted_before = served._jitted
+    served.update_params(jax.tree.map(lambda a: a, served.params))
+    served.predict(_images(1))
+    assert served._jitted is jitted_before  # weight swap != recompile
+
+    frames_art = str(tmp_path / "frames_meta")
+    save_serving_artifact(frames_art, tiny_regressor, image_size=64,
+                          platforms=("cpu",), from_full_images=True,
+                          full_image_size=(96, 80))
+    frames_served = ServingModel.load(frames_art)
+    with pytest.raises(TypeError, match="uint8"):
+        frames_served.predict(
+            np.zeros((1, 96, 80, 3), np.float32),
+            np.broadcast_to(np.eye(3, dtype=np.float32), (1, 3, 3)),
+        )
+
+
 def test_full_frame_ingest_artifact(tiny_regressor, tmp_path):
     """from_full_images export: uint8 frames + affines in, fused
     on-device crop/normalize, matches the live apply_from_full_images."""

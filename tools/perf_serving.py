@@ -34,7 +34,8 @@ def main() -> None:
     from shapy_tpu.utils.timing import chained_device_ms
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    regressor = _build_flagship(subdivisions=5)
+    # exact_counts: same shape-exact mesh as bench.py's headline config.
+    regressor = _build_flagship(subdivisions=5, exact_counts=True)
     regressor.backbone_compute_dtype = jnp.bfloat16
 
     rng = np.random.default_rng(0)
