@@ -340,3 +340,22 @@ def test_device_failure_exit_code():
     out = run_cli(["-c", good])
     assert out.returncode == 0, out.stderr[-500:]
     assert "devices ok" in out.stdout
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """cli/export end-to-end: write artifact + --check round-trip on the
+    synthetic body (resnet18 config to keep the CPU compile small)."""
+    out_dir = str(tmp_path / "artifact")
+    proc = run_cli([
+        "-m", "shapy_tpu.cli.export", "--output-dir", out_dir,
+        "--image-size", "64", "--platforms", "cpu", "--check",
+        "--exp-opts", "network.smplx.backbone.type=resnet",
+        "network.smplx.backbone.depth=18",
+    ])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "round-trip check" in proc.stdout
+    meta = json.load(open(os.path.join(out_dir, "metadata.json")))
+    assert meta["batch"] == "symbolic"
+    assert "betas" in meta["outputs"]
+    for name in ("model.jaxexport", "params.npz", "model_params.npz"):
+        assert os.path.exists(os.path.join(out_dir, name))
