@@ -216,6 +216,46 @@ def test_sharded_export_matches_single_device(tiny_regressor):
                          platforms=("cpu",), mesh=mesh)
 
 
+def test_sharded_full_frame_export(tiny_regressor):
+    """The pod-sharded and fused-ingest modes compose: uint8 frames +
+    affines, both batch-sharded over the data axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shapy_tpu.io.export import export_regressor, make_serving_fn
+    from shapy_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    exported, meta = export_regressor(
+        tiny_regressor, batch_size=8, image_size=64, platforms=("cpu",),
+        mesh=mesh, from_full_images=True, full_image_size=(96, 80),
+    )
+    assert meta["from_full_images"] and meta["mesh"]["num_devices"] == 8
+
+    rng = np.random.RandomState(2)
+    frames = rng.randint(0, 256, (8, 96, 80, 3)).astype(np.uint8)
+    scale = np.diag([80 / 64, 96 / 64, 1.0]).astype(np.float32)
+    affines = np.broadcast_to(scale, (8, 3, 3)).copy()
+
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    got = exported.call(
+        jax.device_put(tiny_regressor.params, rep),
+        jax.device_put(tiny_regressor.model.params, rep),
+        jax.device_put(frames, bsh),
+        jax.device_put(affines, bsh),
+    )
+    fn = make_serving_fn(tiny_regressor, from_full_images=True,
+                         crop_size=64)
+    want = fn(tiny_regressor.params, tiny_regressor.model.params,
+              frames, affines)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5),
+        got, want,
+    )
+
+
 def test_weight_swap_without_reexport(tiny_regressor, tmp_path):
     import jax
 
