@@ -166,8 +166,8 @@ def main(
     demo_output_folder: str = "demo_output",
     datasets=("openpose",),
     save_vis: bool = True,
-    save_params: bool = True,
-    save_mesh: bool = True,
+    save_params: bool = False,
+    save_mesh: bool = False,
     split: str = "test",
     batch_size: int = 1,
     focal_length: float = DEFAULT_FOCAL_LENGTH,
@@ -415,13 +415,17 @@ def build_parser():
     parser.add_argument("--output-folder", dest="output_folder",
                         default="demo_output")
     parser.add_argument("--datasets", nargs="+", default=["openpose"])
-    parser.add_argument("--save-vis", dest="save_vis", default=True,
-                        type=lambda x: str(x).lower() in ("true", "1"))
-    parser.add_argument("--save-params", dest="save_params", default=True,
-                        type=lambda x: str(x).lower() in ("true", "1"))
-    parser.add_argument("--save-mesh", dest="save_mesh", default=True,
-                        type=lambda x: str(x).lower() in ("true", "1"))
-    parser.add_argument("--split", default="test")
+    # Defaults and truth-parsing match the reference parser exactly
+    # (reference demo.py:389-401: default False, `x.lower() in ['true']`)
+    # so an unflagged invocation behaves identically.
+    parser.add_argument("--save-vis", dest="save_vis", default=False,
+                        type=lambda x: str(x).lower() in ("true",))
+    parser.add_argument("--save-params", dest="save_params", default=False,
+                        type=lambda x: str(x).lower() in ("true",))
+    parser.add_argument("--save-mesh", dest="save_mesh", default=False,
+                        type=lambda x: str(x).lower() in ("true",))
+    parser.add_argument("--split", default="test",
+                        choices=["train", "test", "val"])
     parser.add_argument("--batch-size", dest="batch_size", type=int,
                         default=1,
                         help="Images per forward pass. >1 routes through "
@@ -433,7 +437,7 @@ def build_parser():
     # Accepted for reference CLI compatibility (demo.py:378-382); this
     # demo is headless, so interactive windows are not supported.
     parser.add_argument("--show", default=False,
-                        type=lambda x: str(x).lower() in ("true", "1"))
+                        type=lambda x: str(x).lower() in ("true",))
     parser.add_argument("--pause", default=-1, type=float)
     return parser
 

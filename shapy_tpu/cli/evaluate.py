@@ -140,8 +140,9 @@ if __name__ == "__main__":
         description="shapy_tpu evaluation",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
+    # required like the reference's cmd_parser.py:19-21
     parser.add_argument("--exp-cfg", dest="exp_cfgs", nargs="+",
-                        default=[])
+                        required=True)
     parser.add_argument("--exp-opts", dest="exp_opts", nargs="*",
                         default=[])
     parser.add_argument("--output-folder", default="evaluation")

@@ -236,7 +236,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="HBW offline evaluation")
     parser.add_argument("--input-npz-file", required=True)
     parser.add_argument("--hbw-folder", default="")
-    parser.add_argument("--model-type", default="smplx")
+    parser.add_argument("--model-type", default="smplx",
+                        choices=["smpl", "smplx"])
     parser.add_argument("--point-reg-gt", default="")
     parser.add_argument("--point-reg-fit", default="")
     parser.add_argument("--body-measurement-folder", default="")

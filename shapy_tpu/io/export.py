@@ -274,6 +274,17 @@ def export_regressor(
             "on-device decode/crop/normalize" if from_full_images
             else "NHWC float32, demo normalization"),
         "num_stages": int(regressor.num_stages),
+        # Camera convention: the weak-persp scale_first flag is a static
+        # (non-array) attribute dropped from the output tree by
+        # _array_only, so record it here — a serving consumer must know
+        # which convention the camera_parameters follow
+        # (reference camera_projection.py:202-208 branches on it).
+        "camera": {
+            "type": type(regressor.projection).__name__,
+            "scale_first": bool(
+                getattr(regressor.projection, "scale_first", False)
+            ),
+        },
         "outputs": jax.tree.map(lambda x: x, out_tree),
         "calling_convention": (
             "exported.call(params, model_params, full_images_u8, affines)"
@@ -380,6 +391,16 @@ class ServingModel:
                     "full-frame artifacts take raw uint8 frames "
                     f"(got dtype {frames.dtype}); scale floats to 0-255 "
                     "uint8 before predict()"
+                )
+            if frames.dtype != np.uint8 and (
+                frames.size and (frames.min() < 0 or frames.max() > 255)
+            ):
+                # Wider integer dtypes are accepted only when the values
+                # actually fit a byte — astype(uint8) would otherwise
+                # truncate them modulo 256 silently.
+                raise ValueError(
+                    f"integer frames of dtype {frames.dtype} contain "
+                    "values outside [0, 255]; pass genuine uint8 pixels"
                 )
             want = tuple(self.metadata["full_image_size"]) + (3,)
             data = (frames.astype(np.uint8),

@@ -189,9 +189,11 @@ def refine_to_counts(
         faces = np.concatenate(
             [faces[~drop], np.asarray(new_faces, np.int64)], axis=0
         )
+        # Carry protection across rounds: earlier rounds' split-created
+        # faces stay protected, so a later drop step can never orphan a
+        # previously inserted midpoint vertex.
         touched_new = np.concatenate(
-            [np.zeros(int((~drop).sum()), dtype=bool),
-             np.ones(len(new_faces), dtype=bool)]
+            [touched_new[~drop], np.ones(len(new_faces), dtype=bool)]
         )
 
     n_drop = faces.shape[0] - target_f

@@ -26,20 +26,17 @@ if os.environ.get("SHAPY_TPU_TEST_ON_TPU", "0") != "1":
 # Persistent compilation cache: XLA compiles of the big graphs (HRNet
 # forward/backward) dominate suite runtime on this single-core host; the
 # cache survives across processes and cuts repeat runs by minutes.
-# Keyed per-host (uname -n) so CPU AOT artifacts compiled on one machine
-# are never loaded on another (SIGILL risk). The residual "+prefer-no-
-# scatter not supported" warning is XLA's benign pseudo-feature mismatch
-# (it fires even for a cache written seconds earlier on the same host).
-import platform  # noqa: E402
+# Keyed per-(host, CPU-feature-signature) so CPU AOT artifacts compiled
+# on one machine/microarch are never loaded on another (SIGILL risk).
+# The residual "+prefer-no-scatter not supported" warning is XLA's benign
+# pseudo-feature mismatch (it fires even for a cache written seconds
+# earlier on the same host).
+import sys  # noqa: E402
 
-_CACHE_DIR = os.environ.get(
-    "SHAPY_TPU_COMPILE_CACHE",
-    f"/tmp/shapy_tpu_xla_cache_{platform.node()}",
-)
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from shapy_tpu.utils.compile_cache import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

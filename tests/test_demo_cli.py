@@ -68,10 +68,12 @@ def test_demo_batch1_vs_batched(tmp_path, monkeypatch):
     out1 = tmp_path / "b1"
     out4 = tmp_path / "b4"
     rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out1),
-                       save_vis=False, batch_size=1)
+                       save_vis=False, save_params=True, save_mesh=True,
+                       batch_size=1)
     assert rc == 0
     rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out4),
-                       save_vis=False, batch_size=4)
+                       save_vis=False, save_params=True, save_mesh=True,
+                       batch_size=4)
     assert rc == 0
 
     npz1 = sorted(p for p in os.listdir(out1) if p.endswith(".npz"))
@@ -128,7 +130,8 @@ def test_demo_npz_roundtrip_through_virtual_measurements(
     monkeypatch.setattr(demo_mod, "build_demo_regressor", builder)
     out_dir = tmp_path / "demo"
     rc = demo_mod.main(_demo_cfg(), demo_output_folder=str(out_dir),
-                       save_vis=False, save_mesh=False, batch_size=1)
+                       save_vis=False, save_params=True, save_mesh=False,
+                       batch_size=1)
     assert rc == 0
     npzs = sorted(p for p in os.listdir(out_dir) if p.endswith(".npz"))
     assert npzs

@@ -4,12 +4,13 @@ subsystem (demo loop only, regressor/demo.py:122-355); these tests pin
 the TPU-native export path's numerics instead of reference parity."""
 
 import importlib
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="module")
