@@ -63,15 +63,25 @@ def main(exp_cfg: Dict, output_folder: str = "output",
         save_dir=os.path.join(output_folder, "checkpoints"),
         pretrained=os.path.expandvars(exp_cfg.get("pretrained", "") or ""),
     )
+    # Adversarial training: the exact config surface the reference
+    # declares but stubs out (defaults.py:79 use_adv_training,
+    # models/build.py:26-31, optim_defaults.py:59 optim.discriminator).
+    optim_cfg = dict(exp_cfg.get("optim") or {})
+    use_adv = bool(exp_cfg.get("use_adv_training", False))
+    net_cfg = dict(exp_cfg.get("network") or {})
     trainer = Trainer(
         regressor,
         losses,
-        optim_cfg=dict(exp_cfg.get("optim") or {}),
+        optim_cfg=optim_cfg,
         checkpointer=checkpointer,
         mesh=mesh,
         summary_steps=int(exp_cfg.get("summary_steps", 100)),
         checkpoint_steps=int(exp_cfg.get("checkpoint_steps", 1000)),
         max_duration=float(exp_cfg.get("max_duration", float("inf"))),
+        use_adv_training=use_adv,
+        disc_cfg=dict(net_cfg.get("discriminator") or {}),
+        adv_loss_cfg=dict(loss_cfg.get("discriminator") or {}),
+        disc_optim_cfg=dict(optim_cfg.get("discriminator") or {}) or None,
     )
     trainer.resume()
 

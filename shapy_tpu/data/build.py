@@ -304,11 +304,26 @@ class DataLoader:
         return len(self.batch_sampler)
 
     def __iter__(self):
+        return self.iter_batches()
+
+    def iter_batches(self, skip: int = 0):
+        """One epoch of batches, optionally skipping the first ``skip``
+        index-batches WITHOUT fetching their data. Together with burning
+        whole epochs at the sampler level this gives resume-stable
+        training streams: the sampler's stateful shuffle rng advances
+        exactly as in an uninterrupted run, so batch ``n`` after a
+        restart is bit-identical to batch ``n`` of a fresh run
+        (Trainer.fit positions the stream at the resumed step)."""
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending: "queue.Queue" = queue.Queue()
             sampler_iter = iter(self.batch_sampler)
+            for _ in range(skip):
+                try:
+                    next(sampler_iter)
+                except StopIteration:
+                    break
 
             def submit_next():
                 try:

@@ -276,17 +276,23 @@ def make_adversarial_train_step(
          power-iteration ``u`` buffers refreshed functionally (like BN
          stats) and excluded from gradient updates.
 
-    Returns ``step(state, disc_state, images, batch, rng) ->
-    (state, disc_state, metrics)``; jit/shard like make_train_step.
+    Returns ``step(state, disc_state, images, batch, rng[, model_consts])
+    -> (state, disc_state, metrics)``; jit/shard like make_train_step
+    (``model_consts`` plays the same frozen-body-model-as-jit-argument
+    role as in the plain step).
     """
 
-    def step(state: TrainState, disc_state: TrainState, images, batch, rng):
+    def step(state: TrainState, disc_state: TrainState, images, batch, rng,
+             model_consts=None):
+        if model_consts is not None:
+            model_consts = jax.lax.stop_gradient(model_consts)
         rng, gp_rng = jax.random.split(rng)
 
         # -- generator update ------------------------------------------
         def gen_compute(params):
             out, stat_updates = forward_with_stats(
-                regressor, params, images, batch, rng
+                regressor, params, images, batch, rng,
+                model_params=model_consts,
             )
             loss_dict = losses(out, batch)
             stage = out[f"stage_{regressor.num_stages - 1:02d}"]

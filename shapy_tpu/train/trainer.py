@@ -21,11 +21,40 @@ from shapy_tpu.train.step import (
     TrainState,
     build_optimizer,
     init_train_state,
+    make_adversarial_train_step,
     make_train_step,
 )
 from shapy_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
+
+
+def _stream_from(loader, start: int):
+    """Deterministic infinite batch stream positioned at global batch
+    index ``start``. Replays the epoch sequence a fresh run would have
+    produced — burned epochs advance the sampler's stateful shuffle rng
+    without fetching, the partial epoch is skipped at the sampler level
+    (DataLoader.iter_batches) — so training resumed at step N sees
+    exactly the batches steps N, N+1, ... of an uninterrupted run."""
+    try:
+        epoch_len = len(loader)
+    except TypeError:
+        epoch_len = 0
+    sampler = getattr(loader, "batch_sampler", None)
+    can_skip = hasattr(loader, "iter_batches") and sampler is not None
+    if start and epoch_len and can_skip:
+        epochs, offset = divmod(start, epoch_len)
+        for _ in range(epochs):
+            for _ in iter(sampler):
+                pass
+        it = loader.iter_batches(skip=offset)
+    else:
+        it = iter(loader)
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            it = iter(loader)
 
 
 def _to_device_batch(batch: Dict[str, Any], mesh=None) -> Dict:
@@ -52,6 +81,10 @@ class Trainer:
         summary_steps: int = 100,
         checkpoint_steps: int = 1000,
         max_duration: float = float("inf"),
+        use_adv_training: bool = False,
+        disc_cfg: Optional[Dict] = None,
+        adv_loss_cfg: Optional[Dict] = None,
+        disc_optim_cfg: Optional[Dict] = None,
     ):
         self.regressor = regressor
         self.losses = losses
@@ -61,6 +94,7 @@ class Trainer:
         self.summary_steps = summary_steps
         self.checkpoint_steps = checkpoint_steps
         self.max_duration = max_duration
+        self.use_adv_training = bool(use_adv_training)
 
         state = init_train_state(regressor, self.tx)
         if mesh is not None:
@@ -76,10 +110,45 @@ class Trainer:
         # Donate the TrainState: params + opt_state (~840 MB for the
         # flagship) are consumed and rebuilt every step; donation lets
         # XLA update them in place instead of allocating a second copy.
-        self.step_fn = jax.jit(
-            make_train_step(regressor, losses, self.tx),
-            donate_argnums=(0,),
-        )
+        if self.use_adv_training:
+            # The surface the reference declares and stubs out
+            # (models/build.py:26-31 NotImplementedError): discriminator
+            # from network.discriminator, GAN loss from
+            # losses.discriminator, its optimizer from
+            # optim.discriminator (optim_defaults.py:59).
+            from shapy_tpu.losses.adversarial import build_adv_loss
+            from shapy_tpu.models.discriminator import build_discriminator
+
+            self.disc = build_discriminator(disc_cfg)
+            self.adv_loss = build_adv_loss(
+                lambda p, x: self.disc.apply(p, x)[0], adv_loss_cfg
+            )
+            self.tx_disc = build_optimizer(disc_optim_cfg or optim_cfg)
+            disc_params = jax.tree_util.tree_map(
+                jnp.copy, self.disc.params)
+            if mesh is not None:
+                from shapy_tpu.parallel.mesh import replicated
+
+                disc_params = jax.device_put(
+                    disc_params, replicated(mesh))
+            self.disc_state = TrainState(
+                params=disc_params,
+                opt_state=self.tx_disc.init(disc_params),
+                step=jnp.asarray(0, jnp.int32),
+            )
+            self.step_fn = jax.jit(
+                make_adversarial_train_step(
+                    regressor, losses, self.adv_loss, self.disc,
+                    self.tx, self.tx_disc,
+                ),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self.disc_state = None
+            self.step_fn = jax.jit(
+                make_train_step(regressor, losses, self.tx),
+                donate_argnums=(0,),
+            )
         # Frozen body-model constants as a jit ARGUMENT — closure capture
         # would embed ~100 MB of blend shapes into the serialized HLO
         # (slow compiles; overflows the dev tunnel's compile request at
@@ -87,16 +156,29 @@ class Trainer:
         model = getattr(regressor, "model", None)
         self.model_consts = model.params if model is not None else None
 
-    def resume(self) -> None:
-        if self.checkpointer is None:
-            return
-        loaded = self.checkpointer.load(template={
+    def _ckpt_tree(self) -> Dict[str, Any]:
+        tree = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
-        })
+        }
+        if self.disc_state is not None:
+            tree["disc"] = {
+                "params": self.disc_state.params,
+                "opt_state": self.disc_state.opt_state,
+                "step": self.disc_state.step,
+            }
+        return tree
+
+    def resume(self) -> None:
+        if self.checkpointer is None:
+            return
+        loaded = self.checkpointer.load(template=self._ckpt_tree())
         if loaded is not None:
+            disc = loaded.pop("disc", None)
             self.state = TrainState(**loaded)
+            if disc is not None and self.disc_state is not None:
+                self.disc_state = TrainState(**disc)
             logger.info("Resumed from step %d", int(self.state.step))
 
     def fit(
@@ -108,19 +190,19 @@ class Trainer:
         eval_steps: int = 0,
     ) -> Dict[str, float]:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        iters = {k: iter(v) for k, v in loaders.items()}
         start_time = time.time()
         last_metrics: Dict[str, float] = {}
 
         step0 = int(self.state.step)
+        # Position every stream at the global step and derive the
+        # per-step rng by fold_in: both are pure functions of the step
+        # index, which makes kill+resume bit-identical to an
+        # uninterrupted run (same batches, same dropout/GAN noise).
+        streams = {k: _stream_from(v, step0) for k, v in loaders.items()}
         for step in range(step0, step0 + num_steps):
             merged: Optional[Dict] = None
-            for part, loader in loaders.items():
-                try:
-                    batch = next(iters[part])
-                except StopIteration:
-                    iters[part] = iter(loader)
-                    batch = next(iters[part])
+            for part in loaders:
+                batch = next(streams[part])
                 db = _to_device_batch(batch, self.mesh)
                 if merged is None:
                     merged = db
@@ -135,10 +217,28 @@ class Trainer:
                 raise ValueError("No batches produced by the loaders")
 
             images = merged.pop("images")
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self.step_fn(
-                self.state, images, merged, sub, self.model_consts
-            )
+            sub = jax.random.fold_in(rng, step)
+            if self.use_adv_training:
+                # Real pose samples for the discriminator: an explicit
+                # real_body_pose stream if the loader provides one, else
+                # the batch's own GT rotations (HMR uses a mocap prior
+                # dataset; any GT-pose dataset plays that role here).
+                if "real_body_pose" not in merged:
+                    if "gt_body_pose" not in merged:
+                        raise ValueError(
+                            "use_adv_training needs real_body_pose or "
+                            "gt_body_pose in the batch (a dataset with "
+                            "GT pose rotations)"
+                        )
+                    merged["real_body_pose"] = merged["gt_body_pose"]
+                self.state, self.disc_state, metrics = self.step_fn(
+                    self.state, self.disc_state, images, merged, sub,
+                    self.model_consts,
+                )
+            else:
+                self.state, metrics = self.step_fn(
+                    self.state, images, merged, sub, self.model_consts
+                )
 
             if (step + 1) % self.summary_steps == 0:
                 last_metrics = {
@@ -152,14 +252,7 @@ class Trainer:
                 self.checkpointer is not None
                 and (step + 1) % self.checkpoint_steps == 0
             ):
-                self.checkpointer.save(
-                    {
-                        "params": self.state.params,
-                        "opt_state": self.state.opt_state,
-                        "step": self.state.step,
-                    },
-                    step=step + 1,
-                )
+                self.checkpointer.save(self._ckpt_tree(), step=step + 1)
             if eval_fn is not None and eval_steps and \
                     (step + 1) % eval_steps == 0:
                 eval_fn(self.state)

@@ -293,6 +293,69 @@ def test_adversarial_train_step(tiny_regressor):
     assert not np.allclose(u0, u1)
 
 
+def test_adversarial_train_step_sharded(tiny_regressor):
+    """The adversarial step lowers and executes under the 8-device mesh
+    (data-sharded batch, FSDP generator params, replicated
+    discriminator) and matches the single-device result."""
+    from shapy_tpu.losses.adversarial import build_adv_loss
+    from shapy_tpu.models.discriminator import build_discriminator
+    from shapy_tpu.train.step import (
+        TrainState,
+        make_adversarial_train_step,
+    )
+    from tests.golden_numpy import random_rotmats
+
+    B = 8
+    batch, _ = make_batch(B)
+    rngnp = np.random.default_rng(13)
+    batch["real_body_pose"] = jnp.asarray(
+        random_rotmats(rngnp, (B, 21)), jnp.float32)
+    images = jnp.asarray(rngnp.normal(size=(B, 64, 64, 3)), jnp.float32)
+
+    losses = RegressorLosses(
+        {"body": {"body_joints_2d": {"weight": 1.0},
+                  "stages_to_penalize": ["stage_01"]}},
+    )
+    disc = build_discriminator({"num_joints": 21})
+    adv = build_adv_loss(
+        lambda p, x: disc.apply(p, x)[0], {"type": "lsgan", "weight": 0.1}
+    )
+    tx = build_optimizer({"type": "adam", "lr": 1e-3})
+    tx_d = build_optimizer({"type": "adam", "lr": 1e-3})
+    step_fn = make_adversarial_train_step(
+        tiny_regressor, losses, adv, disc, tx, tx_d)
+
+    def fresh_states(mesh=None):
+        state = init_train_state(tiny_regressor, tx)
+        dparams = jax.tree_util.tree_map(jnp.copy, disc.params)
+        if mesh is not None:
+            params = shard_params(state.params, mesh)
+            state = TrainState(params=params, opt_state=tx.init(params),
+                               step=jnp.asarray(0, jnp.int32))
+            dparams = jax.device_put(dparams, replicated(mesh))
+        dstate = TrainState(params=dparams, opt_state=tx_d.init(dparams),
+                            step=jnp.asarray(0, jnp.int32))
+        return state, dstate
+
+    mesh = make_mesh(data=4, model=2)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        state, dstate = fresh_states(mesh)
+        step = jax.jit(step_fn)
+        state, dstate, metrics = step(
+            state, dstate, shard_batch(images, mesh),
+            shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["adv_gen"]))
+    assert np.isfinite(float(metrics["adv_disc"]))
+
+    state1, dstate1 = fresh_states()
+    _, _, metrics1 = jax.jit(step_fn)(
+        state1, dstate1, images, batch, jax.random.PRNGKey(0))
+    for k in ("total", "adv_gen", "adv_disc"):
+        assert float(metrics[k]) == pytest.approx(
+            float(metrics1[k]), rel=1e-4)
+
+
 def test_optimizer_semantics_match_torch():
     """One-step update equality vs the torch optimizers the reference
     builds (optimizers/build.py:48-61): AdamW decoupled decay, RMSprop

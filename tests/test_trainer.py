@@ -105,6 +105,193 @@ def test_trainer_end_to_end(tmp_path, rng):
     assert os.path.exists(ckpt_dir / "latest_checkpoint")
 
 
+def make_pose_fits_root(tmp_path, rng, n=8):
+    """Images + a parametric-fits npz archive (curated_fits layout) with
+    GT axis-angle poses, so collate emits gt_body_pose rotations."""
+    import cv2
+
+    root = tmp_path / "fits"
+    os.makedirs(root, exist_ok=True)
+    names = []
+    for i in range(n):
+        fname = f"im{i}.jpg"
+        cv2.imwrite(str(root / fname),
+                    (rng.uniform(size=(96, 96, 3)) * 255).astype(np.uint8))
+        names.append(fname)
+    kp = np.zeros((n, 49, 3), np.float32)
+    kp[:, :, 0] = rng.uniform(20, 70, (n, 49))
+    kp[:, :, 1] = rng.uniform(20, 90, (n, 49))
+    kp[:, :, 2] = 1.0
+    np.savez(
+        root / "fits.npz",
+        imgname=np.asarray(names),
+        center=np.full((n, 2), 48.0, np.float32),
+        scale=np.full((n,), 0.5, np.float32),
+        pose=rng.normal(0, 0.2, (n, 22, 3)).astype(np.float32),
+        keypoints2d=kp,
+    )
+    return str(root)
+
+
+def _adv_cfg(root):
+    return {
+        "use_adv_training": True,
+        "body_model": {"type": "smplx", "model_folder": "",
+                       "smplx": {"betas": {"num": 10}}},
+        "network": {
+            "type": "SMPLXRegressor",
+            "smplx": {
+                "num_stages": 2,
+                "predict_hands": False,
+                "predict_face": False,
+                "backbone": {"type": "resnet", "depth": 18},
+                "mlp": {"layers": [32], "dropout": 0.0},
+            },
+            # reference surface: exp_cfg.network.discriminator
+            # (models/build.py:29-30)
+            "discriminator": {"type": "hmr", "num_joints": 21,
+                              "num_channels": 8, "nzfeat": 64},
+        },
+        "datasets": {
+            "batch_size": 2,
+            "pose_shape_ratio": 1.0,  # pose stream only
+            "pose": {
+                "splits": {"train": ["curated_fits"]},
+                "transforms": {"crop_size": 64},
+                "curated_fits": {"data_folder": root,
+                                 "npz_files": ["fits.npz"],
+                                 "keypoint_format": "spin49"},
+            },
+        },
+        "losses": {
+            "body": {
+                "body_joints_2d": {"weight": 1.0},
+                "stages_to_penalize": ["stage_01"],
+            },
+            # reference surface: exp_cfg.losses.discriminator
+            # (models/build.py:31)
+            "discriminator": {"type": "lsgan", "weight": 0.1},
+        },
+        "optim": {"type": "adam", "lr": 1e-4, "num_steps": 3,
+                  # reference surface: optim_defaults.py:59
+                  "discriminator": {"type": "adam", "lr": 1e-4}},
+        "summary_steps": 1,
+        "checkpoint_steps": 2,
+    }
+
+
+def _tiny_builder_factory():
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+
+    def tiny_builder(exp_cfg, checkpoint_path=""):
+        body = SMPLX(model_data=make_synthetic_model_data(
+            "smplx", subdivisions=1))
+        anchors = MeasurementAnchors.synthetic(
+            body.faces, np.asarray(body.params["v_template"]))
+        return build_body_head(
+            exp_cfg, body_model=body,
+            measurements=BodyMeasurements(anchors=anchors,
+                                          num_hull_directions=64),
+        )
+
+    return tiny_builder
+
+
+def test_adversarial_train_cli_end_to_end(tmp_path, rng, capsys):
+    """Config-driven adversarial run through cli/train.py — the surface
+    the reference declares and stubs (defaults.py:79 use_adv_training,
+    models/build.py:26-31 NotImplementedError)."""
+    import shapy_tpu.cli.demo as demo_mod
+    from shapy_tpu.cli.train import main
+
+    root = make_pose_fits_root(tmp_path, rng)
+    os.environ["SHAPY_TPU_SYNTHETIC_BODY"] = "1"
+    cfg = _adv_cfg(root)
+
+    orig = demo_mod.build_demo_regressor
+    demo_mod.build_demo_regressor = _tiny_builder_factory()
+    try:
+        rc = main(cfg, output_folder=str(tmp_path / "out"), num_steps=3)
+    finally:
+        demo_mod.build_demo_regressor = orig
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "adv_gen" in printed and "adv_disc" in printed
+    assert os.path.exists(tmp_path / "out" / "checkpoints" /
+                          "latest_checkpoint")
+
+
+def test_adversarial_trainer_stability(tmp_path, rng):
+    """Short-run GAN stability: both losses finite, discriminator does
+    not collapse to hard 0/1 scores, the generator update moves the
+    regressor's parameters, and the checkpoint round-trips the
+    discriminator state."""
+    import jax
+    import shapy_tpu.cli.demo as demo_mod  # noqa: F401 (jax init order)
+    from shapy_tpu.data.build import build_all_data_loaders
+    from shapy_tpu.io.checkpoint import Checkpointer
+    from shapy_tpu.train import RegressorLosses
+    from shapy_tpu.train.trainer import Trainer
+
+    root = make_pose_fits_root(tmp_path, rng)
+    cfg = _adv_cfg(root)
+    regressor = _tiny_builder_factory()(cfg)
+    loaders = build_all_data_loaders(
+        cfg, split="train",
+        target_keypoint_names=regressor.model.keypoint_names)
+    losses = RegressorLosses(dict(cfg["losses"]))
+    trainer = Trainer(
+        regressor, losses,
+        optim_cfg=dict(cfg["optim"]),
+        checkpointer=Checkpointer(save_dir=str(tmp_path / "ck")),
+        summary_steps=1, checkpoint_steps=4,
+        use_adv_training=True,
+        disc_cfg=cfg["network"]["discriminator"],
+        adv_loss_cfg=cfg["losses"]["discriminator"],
+        disc_optim_cfg=cfg["optim"]["discriminator"],
+    )
+    w0 = np.array(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    d0 = np.array(
+        trainer.disc_state.params["linear1"]["weight"])
+
+    metrics = trainer.fit(loaders, num_steps=4)
+    assert np.isfinite(metrics["total"])
+    assert np.isfinite(metrics["adv_gen"]) and metrics["adv_gen"] > 0
+    assert np.isfinite(metrics["adv_disc"]) and metrics["adv_disc"] > 0
+    # generator and discriminator both moved
+    w1 = np.array(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    d1 = np.array(trainer.disc_state.params["linear1"]["weight"])
+    assert not np.allclose(w0, w1)
+    assert not np.allclose(d0, d1)
+    assert int(trainer.disc_state.step) == 4
+
+    # no collapse: LSGAN scores off the hard 0/1 targets
+    fake = jax.numpy.asarray(
+        np.tile(np.eye(3, dtype=np.float32), (2, 21, 1, 1)))
+    scores = np.asarray(
+        trainer.disc.apply(trainer.disc_state.params, fake)[0])
+    assert not np.allclose(scores, 0.0, atol=1e-3)
+    assert not np.allclose(scores, 1.0, atol=1e-3)
+
+    # checkpoint round-trip restores the discriminator state too
+    trainer2 = Trainer(
+        regressor, losses,
+        optim_cfg=dict(cfg["optim"]),
+        checkpointer=trainer.checkpointer,
+        use_adv_training=True,
+        disc_cfg=cfg["network"]["discriminator"],
+        adv_loss_cfg=cfg["losses"]["discriminator"],
+        disc_optim_cfg=cfg["optim"]["discriminator"],
+    )
+    trainer2.resume()
+    assert int(trainer2.state.step) == 4
+    assert int(trainer2.disc_state.step) == 4
+    np.testing.assert_allclose(
+        np.asarray(trainer2.disc_state.params["linear1"]["weight"]), d1)
+
+
 def test_profiling_utils():
     from shapy_tpu.utils.profiling import annotate, device_memory_stats
 
