@@ -285,11 +285,12 @@ class A2B:
             conf.update(cfg)
         obj = cls(conf, **kwargs)
         sd = ckpt.get("state_dict", ckpt.get("model", {}))
-        weight = sd.get("a2b.linear.weight")
-        bias = sd.get("a2b.linear.bias")
-        if weight is not None and isinstance(obj.a2b, Polynomial):
-            obj.a2b.params = {
-                "weight": jnp.asarray(weight),
-                "bias": jnp.asarray(bias),
-            }
+        if any(k.startswith("a2b.") for k in sd):
+            # Any network type imports (MLP/resnet/MoE/IMoE/iterative/
+            # linear/simple/polynomial) — reference surface demo.py:54.
+            from shapy_tpu.models.attributes.ckpt_import import (
+                import_network,
+            )
+
+            import_network(obj.a2b, sd, "a2b.")
         return obj

@@ -97,7 +97,8 @@ class B2A:
     @classmethod
     def load_from_checkpoint(cls, path: str, cfg: Optional[Dict] = None
                              ) -> "B2A":
-        """Import a reference Lightning checkpoint (polynomial network)."""
+        """Import a reference Lightning checkpoint — any network type
+        (reference b2a.py:25-61; importer ckpt_import.py)."""
         from shapy_tpu.io.torch_import import load_torch_file
 
         ckpt = load_torch_file(path)
@@ -107,11 +108,10 @@ class B2A:
             conf.update(cfg)
         obj = cls(conf)
         sd = ckpt.get("state_dict", ckpt.get("model", {}))
-        weight = sd.get("b2a.linear.weight")
-        bias = sd.get("b2a.linear.bias")
-        if weight is not None and isinstance(obj.b2a, Polynomial):
-            obj.b2a.params = {
-                "weight": jnp.asarray(weight),
-                "bias": jnp.asarray(bias),
-            }
+        if any(k.startswith("b2a.") for k in sd):
+            from shapy_tpu.models.attributes.ckpt_import import (
+                import_network,
+            )
+
+            import_network(obj.b2a, sd, "b2a.")
         return obj

@@ -20,6 +20,15 @@ from shapy_tpu.models.attributes.polynomial import Polynomial
 Array = jax.Array
 
 
+def activ_name(cfg) -> str:
+    """Normalise the reference's activation cfg ({'type': 'relu'} /
+    'leaky-relu' / ...) to a flax.linen attribute name."""
+    if isinstance(cfg, dict):
+        cfg = cfg.get("type", "relu")
+    name = str(cfg or "relu").replace("-", "_")
+    return {"lrelu": "leaky_relu", "none": "linear"}.get(name, name)
+
+
 class MLP(nn.Module):
     """Plain MLP with configurable activation and optional dropout."""
 
@@ -30,7 +39,8 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        act = getattr(nn, self.activation)
+        act = ((lambda v: v) if self.activation in ("none", "linear")
+               else getattr(nn, self.activation))
         for h in self.hidden_dims:
             x = act(nn.Dense(h)(x))
             if self.dropout > 0:
@@ -39,43 +49,64 @@ class MLP(nn.Module):
 
 
 class ResBlock1D(nn.Module):
+    """Reference BasicBlock (models.py:163-221): two linears with the
+    activation BEFORE the residual add, a linear ``downsample`` when the
+    dims change, and no activation after the add. Normalization layers
+    are folded into the linears at checkpoint import (ckpt_import.py),
+    so the flax module carries plain Dense layers."""
+
     width: int
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.relu(nn.Dense(self.width)(x))
-        h = nn.Dense(self.width)(h)
+        h = nn.relu(nn.Dense(self.width, name="linear1")(x))
+        h = nn.relu(nn.Dense(self.width, name="linear2")(h))
         if x.shape[-1] != self.width:
-            x = nn.Dense(self.width)(x)
-        return nn.relu(x + h)
+            x = nn.Dense(self.width, name="downsample")(x)
+        return x + h
 
 
 class ResNet1D(nn.Module):
+    """Reference ResNet (models.py:224-262): optional FCNormActiv
+    projection to ``layers[0]``, one BasicBlock per entry of ``layers``
+    (hidden size = the block's output size), and a final linear."""
+
     output_dim: int
-    width: int = 256
-    depth: int = 3
+    layers: Sequence[int] = (256, 256)
+    proj_layer: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        for _ in range(self.depth):
-            x = ResBlock1D(self.width)(x)
-        return nn.Dense(self.output_dim)(x)
+        if self.proj_layer:
+            x = nn.relu(nn.Dense(self.layers[0], name="projection")(x))
+        for i, width in enumerate(self.layers):
+            x = ResBlock1D(width, name=f"block_{i}")(x)
+        return nn.Dense(self.output_dim, name="final")(x)
 
 
 class MixtureOfExperts(nn.Module):
-    """Soft mixture over expert MLPs with a learned gate."""
+    """Soft mixture over expert networks with a learned gate (reference
+    models.py:264-307): the gate is a FULL inner network of the same
+    config as the experts (not a single linear), softmaxed over
+    experts."""
 
     output_dim: int
     num_experts: int = 4
     hidden_dims: Sequence[int] = (128,)
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        gate = nn.softmax(nn.Dense(self.num_experts)(x), axis=-1)
+        gate = nn.softmax(
+            MLP(self.num_experts, tuple(self.hidden_dims),
+                self.activation, name="gating")(x, train),
+            axis=-1,
+        )
         outs = jnp.stack(
             [
-                MLP(self.output_dim, self.hidden_dims)(x, train)
-                for _ in range(self.num_experts)
+                MLP(self.output_dim, tuple(self.hidden_dims),
+                    self.activation, name=f"expert_{ii}")(x, train)
+                for ii in range(self.num_experts)
             ],
             axis=-1,
         )  # (B, out, E)
@@ -344,15 +375,29 @@ def build_network(
         module = MLP(output_dim,
                      tuple(sub.get("layers",
                                    sub.get("hidden_dims", (256, 256)))),
-                     sub.get("activation", "relu"),
+                     activ_name(sub.get("activation", "relu")),
                      float(sub.get("dropout", 0.0)))
     elif net_type == "resnet":
-        module = ResNet1D(output_dim, int(sub.get("width", 256)),
-                          int(sub.get("depth", 3)))
+        # reference resnet_cfg: per-block 'layers' sizes + proj_layer
+        # (models.py:224-246); width/depth kept as a back-compat alias.
+        layers = sub.get("layers")
+        if layers is None:
+            layers = (int(sub.get("width", 256)),) * int(
+                sub.get("depth", 3))
+        module = ResNet1D(output_dim, tuple(int(v) for v in layers),
+                          bool(sub.get("proj_layer", True)))
     elif net_type in ("moe", "mixture-of-experts"):
-        module = MixtureOfExperts(output_dim,
-                                  int(sub.get("num_experts", 4)),
-                                  tuple(sub.get("hidden_dims", (128,))))
+        # reference: moe_cfg['network'] is the recursive gate/expert cfg
+        # (models.py:279-286); hidden_dims kept as a back-compat alias.
+        inner = dict(sub.get("network") or {})
+        inner_sub = dict(inner.get(inner.get("type", "mlp")) or {})
+        module = MixtureOfExperts(
+            output_dim,
+            int(sub.get("num_experts", 8)),  # models.py:276 default
+            tuple(inner_sub.get("layers",
+                                sub.get("hidden_dims", (128,)))),
+            activ_name(inner_sub.get("activation", "relu")),
+        )
     elif net_type in ("imoe", "mixture-of-input-experts"):
         # reference: imoe_cfg['network'] is the recursive expert cfg
         # (models.py:309-330)
@@ -364,7 +409,7 @@ def build_network(
             expert_type=inner_type,
             expert_layers=tuple(inner_sub.get(
                 "layers", inner_sub.get("hidden_dims", (64,)))),
-            activation=inner_sub.get("activation", "relu"),
+            activation=activ_name(inner_sub.get("activation", "relu")),
         )
     elif net_type == "iterative":
         # reference: iter_cfg has append_params/num_stages and a nested

@@ -162,12 +162,19 @@ class A2BProbabilistic:
 
     # -- log prob / sampling ----------------------------------------------
     def log_prob(self, betas: Array, features: Array) -> Array:
+        head = getattr(self, "head", None)
+        if head is not None:  # imported reference checkpoint
+            return -head.neg_log_likelihood(features, betas)
         if self.head_type == "mvn":
             mean, tril = self.module.apply(self.variables, features)
             return mvn_log_prob(betas, mean, tril)
         return self.module.apply(self.variables, betas, features)
 
     def sample(self, features: Array, key, num_samples: int = 1) -> Array:
+        head = getattr(self, "head", None)
+        if head is not None:  # imported: (B, N, D) -> (N, B, D)
+            return jnp.swapaxes(
+                head.sample(num_samples, jnp.asarray(features), key), 0, 1)
         B = features.shape[0]
         z = jax.random.normal(key, (num_samples, B, self.betas_size))
         if self.head_type == "mvn":
@@ -182,6 +189,9 @@ class A2BProbabilistic:
 
     def predict(self, features) -> np.ndarray:
         """Point estimate: the MVN mean / flow forward of z=0."""
+        head = getattr(self, "head", None)
+        if head is not None:
+            return head.predict(features)
         features = jnp.asarray(np.asarray(features), jnp.float32)
         if self.head_type == "mvn":
             mean, _ = self.module.apply(self.variables, features)
@@ -227,3 +237,45 @@ class A2BProbabilistic:
             v, opt_state, _ = step(v, opt_state, sub)
         self.variables = v
         return self
+
+    # -- reference checkpoint import ----------------------------------------
+    @classmethod
+    def load_from_checkpoint(cls, path: str,
+                             cfg: Optional[Dict] = None
+                             ) -> "A2BProbabilistic":
+        """Load a reference-trained A2BProbabilistic Lightning checkpoint
+        (reference demo.py:54). The torch parametrisation (MVN with
+        diagonal/tril Cholesky over a zoo network, or the nflows
+        ActNorm/LULinear/conditional-coupling flow) differs from the
+        native flax heads, so the imported model runs on the
+        reference-architecture twins in
+        :mod:`shapy_tpu.models.attributes.prob_import`; log_prob /
+        sample / predict keep this class's interface."""
+        from shapy_tpu.models.attributes.prob_import import (
+            probabilistic_from_checkpoint,
+        )
+
+        head, conf = probabilistic_from_checkpoint(path, cfg)
+        obj = cls.__new__(cls)
+        obj.cfg = conf
+        obj.betas_size = head.distr_dim
+        from shapy_tpu.models.attributes.features import select_features
+
+        obj.selected_attr, obj.selected_attr_idx, obj.selected_mmts = (
+            select_features(conf)
+        )
+        obj.input_dim = len(obj.selected_attr) + len(obj.selected_mmts)
+        obj.head_type = ("mvn-torch" if hasattr(head, "mean_L")
+                         else "flow-torch")
+        obj.module = None
+        obj.variables = None
+        obj.head = head
+        return obj
+
+    def neg_log_likelihood(self, features: Array, betas: Array) -> Array:
+        """Reference-head NLL (imported checkpoints); the native heads
+        expose ``log_prob`` instead."""
+        head = getattr(self, "head", None)
+        if head is not None:
+            return head.neg_log_likelihood(features, betas)
+        return -self.log_prob(betas, features)

@@ -76,11 +76,13 @@ def rasterize_mesh(
     camera_center: Optional[np.ndarray] = None,
     light_dir: Tuple[float, float, float] = (0.3, 0.3, -1.0),
     shading_mode: str = "smooth",
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_depth: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Perspective-project and z-buffer rasterise one mesh.
 
     vertices: (V, 3) in camera coordinates (+z away from camera);
-    returns (shading (H, W) float, mask (H, W) bool).
+    returns (shading (H, W) float, mask (H, W) bool), plus the raw
+    z-buffer (H, W; +inf outside the mask) when ``return_depth``.
     shading_mode: 'smooth' interpolates per-vertex normals
     (Gouraud, pyrender-overlay look); 'flat' shades per face.
     """
@@ -150,6 +152,8 @@ def rasterize_mesh(
             color_sub[closer] = shade[fi]
 
     mask = np.isfinite(depth)
+    if return_depth:
+        return color, mask, depth
     return color, mask
 
 

@@ -544,3 +544,204 @@ def load_ref_evaluate_hbw():
         "hbw_evaluation.evaluate_hbw",
         "regressor/hbw_evaluation/evaluate_hbw.py",
     )
+
+
+# ---------------------------------------------------------------------------
+# nflows stand-in (public API reimplementation, test-only)
+# ---------------------------------------------------------------------------
+# The reference's FlowRegressor (attributes_betas/prob.py:287-460) stacks
+# nflows ActNorm / LULinear / its own conditional coupling inside an
+# nflows CompositeTransform + Flow. nflows is not installed here; these
+# classes reimplement the public nflows semantics (normalization.ActNorm,
+# lu.LULinear, base.CompositeTransform, StandardNormal, flows.Flow) with
+# REAL numerics so flow checkpoints can be synthesized from the actual
+# reference class and imported for parity tests.
+
+def _install_nflows():
+    import math
+
+    import numpy as np
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class ActNorm(nn.Module):
+        def __init__(self, features):
+            super().__init__()
+            self.register_buffer(
+                "initialized", torch.tensor(False, dtype=torch.bool))
+            self.log_scale = nn.Parameter(torch.zeros(features))
+            self.shift = nn.Parameter(torch.zeros(features))
+
+        @property
+        def scale(self):
+            return torch.exp(self.log_scale)
+
+        def forward(self, inputs, context=None):
+            if self.training and not self.initialized:
+                with torch.no_grad():
+                    std = inputs.std(dim=0) + 1e-6
+                    mu = (inputs / std).mean(dim=0)
+                    self.log_scale.data = -torch.log(std)
+                    self.shift.data = -mu
+                    self.initialized.data = torch.tensor(
+                        True, dtype=torch.bool)
+            outputs = self.scale * inputs + self.shift
+            logabsdet = self.log_scale.sum() * inputs.new_ones(len(inputs))
+            return outputs, logabsdet
+
+        def inverse(self, inputs, context=None):
+            outputs = (inputs - self.shift) / self.scale
+            logabsdet = -self.log_scale.sum() * inputs.new_ones(len(inputs))
+            return outputs, logabsdet
+
+    class LULinear(nn.Module):
+        def __init__(self, features, identity_init=True, eps=1e-3):
+            super().__init__()
+            self.features = features
+            self.eps = eps
+            self.bias = nn.Parameter(torch.zeros(features))
+            self.lower_indices = np.tril_indices(features, k=-1)
+            self.upper_indices = np.triu_indices(features, k=1)
+            self.diag_indices = np.diag_indices(features)
+            n_tri = ((features - 1) * features) // 2
+            self.lower_entries = nn.Parameter(torch.zeros(n_tri))
+            self.upper_entries = nn.Parameter(torch.zeros(n_tri))
+            self.unconstrained_upper_diag = nn.Parameter(
+                torch.zeros(features))
+            if identity_init:
+                constant = float(np.log(np.exp(1 - eps) - 1))
+                nn.init.constant_(self.unconstrained_upper_diag, constant)
+            else:
+                stdv = 1.0 / math.sqrt(features)
+                nn.init.uniform_(self.lower_entries, -stdv, stdv)
+                nn.init.uniform_(self.upper_entries, -stdv, stdv)
+                nn.init.uniform_(
+                    self.unconstrained_upper_diag, -stdv, stdv)
+
+        @property
+        def upper_diag(self):
+            return F.softplus(self.unconstrained_upper_diag) + self.eps
+
+        def _create_lower_upper(self):
+            lower = self.lower_entries.new_zeros(
+                self.features, self.features)
+            lower[self.lower_indices] = self.lower_entries
+            lower[self.diag_indices] = 1.0
+            upper = self.upper_entries.new_zeros(
+                self.features, self.features)
+            upper[self.upper_indices] = self.upper_entries
+            upper[self.diag_indices] = self.upper_diag
+            return lower, upper
+
+        def forward(self, inputs, context=None):
+            lower, upper = self._create_lower_upper()
+            outputs = F.linear(inputs, upper)
+            outputs = F.linear(outputs, lower, self.bias)
+            logabsdet = torch.log(self.upper_diag).sum() \
+                * inputs.new_ones(len(inputs))
+            return outputs, logabsdet
+
+        def inverse(self, inputs, context=None):
+            lower, upper = self._create_lower_upper()
+            outputs = (inputs - self.bias).t()
+            outputs = torch.linalg.solve_triangular(
+                lower, outputs, upper=False, unitriangular=True)
+            outputs = torch.linalg.solve_triangular(
+                upper, outputs, upper=True)
+            outputs = outputs.t()
+            logabsdet = -torch.log(self.upper_diag).sum() \
+                * inputs.new_ones(len(inputs))
+            return outputs, logabsdet
+
+    class CompositeTransform(nn.Module):
+        def __init__(self, transforms):
+            super().__init__()
+            self._transforms = nn.ModuleList(transforms)
+
+        def forward(self, inputs, context=None):
+            outputs = inputs
+            total = inputs.new_zeros(len(inputs))
+            for t in self._transforms:
+                outputs, logabsdet = t(outputs, context=context)
+                total = total + logabsdet
+            return outputs, total
+
+        def inverse(self, inputs, context=None):
+            outputs = inputs
+            total = inputs.new_zeros(len(inputs))
+            for t in reversed(self._transforms):
+                outputs, logabsdet = t.inverse(outputs, context=context)
+                total = total + logabsdet
+            return outputs, total
+
+    class StandardNormal(nn.Module):
+        def __init__(self, shape):
+            super().__init__()
+            self._shape = torch.Size(shape)
+
+        def log_prob(self, inputs, context=None):
+            neg_energy = -0.5 * (inputs ** 2).sum(dim=1)
+            log_z = 0.5 * float(np.prod(self._shape)) \
+                * math.log(2 * math.pi)
+            return neg_energy - log_z
+
+        def sample_and_log_prob(self, num_samples, context=None):
+            if context is None:
+                samples = torch.randn(num_samples, *self._shape)
+            else:
+                samples = torch.randn(
+                    len(context), num_samples, *self._shape)
+            return samples, self.log_prob(samples.reshape(
+                -1, *self._shape))
+
+    class Flow(nn.Module):
+        def __init__(self, transform, distribution):
+            super().__init__()
+            self._transform = transform
+            self._distribution = distribution
+
+        def log_prob(self, inputs, context=None):
+            noise, logabsdet = self._transform(inputs, context=context)
+            return self._distribution.log_prob(noise) + logabsdet
+
+        def sample(self, num_samples, context=None, batch_size=None):
+            noise, _ = self._distribution.sample_and_log_prob(
+                num_samples, context=context)
+            samples, _ = self._transform.inverse(noise, context=context)
+            return samples
+
+    transforms_mod = _ensure_module("nflows.transforms", {
+        "ActNorm": ActNorm,
+        "BatchNorm": None,
+        "LULinear": LULinear,
+        "NaiveLinear": None,
+        "RandomPermutation": None,
+        "CompositeTransform": CompositeTransform,
+    })
+    distributions_mod = _ensure_module(
+        "nflows.distributions", {"StandardNormal": StandardNormal})
+    flows_mod = _ensure_module("nflows.flows", {"Flow": Flow})
+    nflows = _ensure_module("nflows")
+    nflows.transforms = transforms_mod
+    nflows.distributions = distributions_mod
+    nflows.flows = flows_mod
+
+
+def load_ref_prob():
+    """attributes_betas/prob.py — MultiVariateNormalRegressor +
+    FlowRegressor (the probabilistic heads A2BProbabilistic wraps,
+    a2b.py:1206-1214). nflows is provided by the numerics stand-in
+    above; build_network comes from the real models.py."""
+    setup()
+    _install_nflows()
+    load_ref_attr_models()
+    # prob.py does `from attributes.utils.typing import ...`
+    _ensure_module("attributes.utils", path=os.path.join(
+        REF, "attributes/attributes/utils"))
+    _load_file("attributes.utils.typing",
+               "attributes/attributes/utils/typing.py")
+    return _load_file(
+        "attributes.attributes_betas.prob",
+        "attributes/attributes/attributes_betas/prob.py",
+    )

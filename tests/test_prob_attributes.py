@@ -63,9 +63,12 @@ def test_flow_invertibility(rng):
     y2, ld_fwd = model.module.apply(
         model.variables, z, cond, method=model.module.forward
     )
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-5)
+    # atol 5e-5: coupling scales reach exp(±2), so float32 round-trip
+    # error is a few ulps of ~10 — 1e-5 was marginal and flaked with
+    # compilation (fusion) order across suite compositions.
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=5e-5)
     np.testing.assert_allclose(
-        np.asarray(ld_fwd + ld_inv), 0.0, atol=1e-5
+        np.asarray(ld_fwd + ld_inv), 0.0, atol=5e-5
     )
 
 
