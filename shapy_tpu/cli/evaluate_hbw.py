@@ -209,7 +209,13 @@ def check_submission_format(
     test_submission_format.py:4-43): npz with image_name (N,) and
     v_shaped (N, 10475, 3) for smplx / (N, 6890, 3) for smpl."""
     expected_v = {"smplx": 10475, "smpl": 6890}[model_type]
-    data = np.load(input_npz_file)
+    try:
+        data = np.load(input_npz_file)
+    except (OSError, ValueError) as exc:
+        # Corrupt/missing/non-npz submission: clean diagnostic + False
+        # (nonzero exit from the CLI), never a traceback.
+        print(f"Cannot read submission npz {input_npz_file}: {exc}")
+        return False
     ok = True
     if "image_name" not in data or "v_shaped" not in data:
         print("Missing required keys: image_name, v_shaped")

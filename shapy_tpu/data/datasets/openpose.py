@@ -97,7 +97,16 @@ class OpenPoseDataset:
 
     def __getitem__(self, index: int) -> Optional[Dict]:
         img_path = self.img_paths[index]
-        img = read_img(img_path, self.image_dtype)
+        try:
+            img = read_img(img_path, self.image_dtype)
+        except (FileNotFoundError, OSError, ValueError) as exc:
+            # Truncated/corrupt image: skip the sample with a warning
+            # (collate_batch drops None rows) instead of killing the run.
+            from shapy_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "Skipping unreadable image %s: %s", img_path, exc)
+            return None
 
         kp = np.array(self.keypoints[index], copy=True)
         kp[:, -1] = np.clip(kp[:, -1], 0, 1)

@@ -151,7 +151,16 @@ class ParametricFitsDataset:
         img_path = os.path.join(
             self.img_folder, str(self.data["imgname"][index])
         )
-        img = read_img(img_path)
+        try:
+            img = read_img(img_path)
+        except (FileNotFoundError, OSError, ValueError) as exc:
+            # Missing/corrupt frame in an archive: skip-and-warn
+            # (collate_batch drops None rows), don't abort the epoch.
+            from shapy_tpu.utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "Skipping unreadable image %s: %s", img_path, exc)
+            return None
         center = np.asarray(self.data["center"][index], np.float32)
         scale = float(np.asarray(self.data["scale"][index]).reshape(-1)[0])
         gender = str(self.data["gender"][index])
