@@ -85,11 +85,38 @@ def main(exp_cfg: Dict, output_folder: str = "output",
     )
     trainer.resume()
 
+    # Evaluator in the loop: when a val split is configured and
+    # eval_steps > 0, run the full Evaluator (v2v / mpjpe / measurement
+    # errors) every eval_steps, plus once before training (the baseline
+    # the decay is judged against) and once at the end.
+    eval_fn = None
+    eval_steps = int(exp_cfg.get("eval_steps", 0))
+    eval_results: Dict = {}
+    if eval_steps > 0:
+        val_loaders = build_all_data_loaders(
+            exp_cfg, split="val",
+            target_keypoint_names=regressor.model.keypoint_names,
+            enable_augment=False,
+        )
+        if val_loaders:
+            from shapy_tpu.eval.loop import make_eval_fn
+
+            eval_fn = make_eval_fn(regressor, val_loaders, exp_cfg,
+                                   results_sink=eval_results)
+            eval_fn(trainer.state, int(trainer.state.step))
+
     if num_steps <= 0:
         optim_cfg = dict(exp_cfg.get("optim") or {})
         num_steps = int(optim_cfg.get("num_steps", 1000))
-    metrics = trainer.fit(loaders, num_steps=num_steps)
+    metrics = trainer.fit(loaders, num_steps=num_steps,
+                          eval_fn=eval_fn, eval_steps=eval_steps)
+    if eval_fn is not None and int(trainer.state.step) % eval_steps:
+        eval_fn(trainer.state, int(trainer.state.step))
     print({k: round(v, 4) for k, v in metrics.items()})
+    for step, by_ds in sorted(eval_results.items()):
+        for ds, vals in by_ds.items():
+            print({"eval": ds, "step": step,
+                   **{k: round(float(v), 5) for k, v in vals.items()}})
     return 0
 
 

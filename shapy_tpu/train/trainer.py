@@ -255,7 +255,7 @@ class Trainer:
                 self.checkpointer.save(self._ckpt_tree(), step=step + 1)
             if eval_fn is not None and eval_steps and \
                     (step + 1) % eval_steps == 0:
-                eval_fn(self.state)
+                eval_fn(self.state, step + 1)
             if time.time() - start_time > self.max_duration:
                 logger.info("Max duration reached at step %d", step + 1)
                 break
