@@ -392,6 +392,9 @@ def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
             # principal point = subject bbox center, like the
             # reference's IntrinsicsCamera (plot_utils.py:719-723)
             camera_center=hd_params["center"][0],
+            # HDRenderer look: lit material + anti-aliased silhouette
+            shading_mode="phong",
+            supersample=2,
         )
         import cv2
 

@@ -318,6 +318,7 @@ class Evaluator:
                     render_mesh_overlay(
                         rgb, verts[i], np.asarray(faces), transl=transl,
                         focal_length=DEFAULT_FOCAL_LENGTH,
+                        shading_mode="phong", supersample=2,
                     )
                 )
             else:
@@ -328,6 +329,7 @@ class Evaluator:
                     render_mesh_overlay(
                         rgb, v, np.asarray(faces),
                         focal_length=500.0 * S / 512,
+                        shading_mode="phong", supersample=2,
                     )
                 )
         grid = np.concatenate(overlays, axis=1)

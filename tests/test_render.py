@@ -70,3 +70,135 @@ def test_overlay_blend_and_blender_transl():
     assert tr.shape == (1, 3)
     np.testing.assert_allclose(tr[0, 2], 2 * 5000.0 / (1.1 * 200.0),
                                rtol=1e-4)
+
+
+def test_front_lit_like_pyrender_raymond():
+    """The raymond rig is mounted in the camera frame: camera-facing
+    surfaces must be lit well above the ambient floor (a back-lit rig
+    would leave the sphere's center at exactly _AMBIENT)."""
+    from shapy_tpu.render.rasterizer import _AMBIENT
+
+    v, f = _uv_sphere()
+    for mode in ("smooth", "phong"):
+        s, m = rasterize_mesh(v, f, (128, 128), 800.0, shading_mode=mode)
+        cy, cx = np.argwhere(m).mean(0).astype(int)
+        assert s[cy, cx] > _AMBIENT + 0.3, (mode, s[cy, cx])
+
+
+def test_phong_specular_and_materials():
+    """Phong mode: per-pixel normals + Blinn-Phong specular. A metallic
+    material must show a colored highlight exceeding its diffuse
+    ceiling; silhouette is identical to the other modes."""
+    from shapy_tpu.render import Material, render_mesh
+
+    v, f = _uv_sphere()
+    _, m_ref = rasterize_mesh(v, f, (128, 128), 800.0, shading_mode="flat")
+    s, m = rasterize_mesh(v, f, (128, 128), 800.0, shading_mode="phong")
+    np.testing.assert_array_equal(m, m_ref)
+    assert s[m].min() >= 0.0 and s[m].max() <= 1.0
+
+    # metallic red: specular color == base color, strong lobe
+    rgb, a, depth = render_mesh(
+        v, f, (128, 128), 800.0,
+        material=Material((0.8, 0.2, 0.2), metallic=0.9, roughness=0.25))
+    hit = a > 0
+    assert hit.any()
+    base_red_ceiling = 0.8 * (1.0 - 0.9)  # diffuse-only max
+    assert rgb[hit][:, 0].max() > base_red_ceiling + 0.1
+    assert np.isfinite(depth[hit]).all() and np.isinf(depth[~hit]).all()
+
+
+def test_render_mesh_supersampling_antialiases():
+    """supersample=2 produces fractional-coverage silhouette pixels and
+    strictly smaller edge contrast than the aliased render."""
+    from shapy_tpu.render import render_mesh
+
+    v, f = _uv_sphere()
+    rgb1, a1, _ = render_mesh(v, f, (96, 96), 600.0, supersample=1)
+    rgb2, a2, _ = render_mesh(v, f, (96, 96), 600.0, supersample=2)
+    assert set(np.unique(a1)) <= {0.0, 1.0}
+    frac = (a2 > 0) & (a2 < 1)
+    assert frac.sum() > 20  # the silhouette ring
+    # same overall coverage
+    np.testing.assert_allclose(a1.sum(), a2.sum(), rtol=0.1)
+
+
+def test_vectorized_matches_reference_loop_semantics():
+    """The lexsort z-resolve keeps the NEAREST fragment: a small near
+    triangle occludes a large far one."""
+    v = np.array([
+        # far big triangle (z=10)
+        [-1.0, -1.0, 10.0], [1.0, -1.0, 10.0], [0.0, 1.5, 10.0],
+        # near small triangle (z=5), centered
+        [-0.2, -0.2, 5.0], [0.2, -0.2, 5.0], [0.0, 0.3, 5.0],
+    ])
+    f = np.array([[0, 1, 2], [3, 4, 5]])
+    _, mask, depth = rasterize_mesh(v, f, (64, 64), 30.0,
+                                    return_depth=True)
+    center = depth[32, 32]
+    assert abs(center - 5.0) < 0.2, center
+
+
+def test_overlay_renderer_batch():
+    """OverlayRenderer: weak-persp ortho camera, (B, 3[4], H, W) output,
+    scale_first parity with the reference projection matrix."""
+    from shapy_tpu.render import COLORS, OverlayRenderer
+
+    v, f = _uv_sphere(n=12)
+    v = v - v.mean(0)
+    ov = OverlayRenderer(img_size=64)
+    scale = np.array([1.4, 1.4])
+    transl = np.array([[0.0, 0.0], [0.3, 0.0]])
+    out = ov(np.stack([v, v]), f, camera_scale=scale,
+             camera_translation=transl)
+    assert out.shape == (2, 3, 64, 64)
+    assert out.max() <= 1.0 and out.min() >= 0.0
+    # the translated sample is shifted right
+    col0 = out[0].sum((0, 1))
+    col1 = out[1].sum((0, 1))
+    c0 = (col0 * np.arange(64)).sum() / max(col0.sum(), 1e-9)
+    c1 = (col1 * np.arange(64)).sum() / max(col1.sum(), 1e-9)
+    assert c1 > c0 + 3
+
+    # scale_first: s*x + t vs s*(x + t) — different shift for s != 1
+    out_sf = ov(v[None], f, camera_scale=np.array([1.4]),
+                camera_translation=np.array([[0.3, 0.0]]),
+                scale_first=True)
+    colsf = out_sf[0].sum((0, 1))
+    csf = (colsf * np.arange(64)).sum() / max(colsf.sum(), 1e-9)
+    assert abs((c1 - c0) - (csf - c0) * 1.4) < 2.5
+
+    # alpha channel + background compositing
+    bg = np.zeros((1, 3, 64, 64), np.float32)
+    with_a = ov(v[None], f, camera_scale=np.array([1.4]),
+                camera_translation=np.zeros((1, 2)), bg_imgs=bg,
+                return_with_alpha=True)
+    assert with_a.shape == (1, 4, 64, 64)
+    assert COLORS["GT"][1] > COLORS["GT"][0]  # the reference GT green
+
+
+def test_gt_and_hd_renderers():
+    """GTRenderer (per-sample intrinsics) and HDRenderer (perspective +
+    AA) produce composited overlays at the background resolution."""
+    from shapy_tpu.render import GTRenderer, HDRenderer
+
+    v, f = _uv_sphere(n=12)
+    K = np.array([[[500.0, 0, 48], [0, 500.0, 40], [0, 0, 1]]])
+    bg = np.full((1, 3, 80, 96), 0.25, np.float32)
+    gt = GTRenderer()
+    out = gt(v[None], f, intrinsics=K, bg_imgs=bg)
+    assert out.shape == (1, 3, 80, 96)
+    mesh_px = (np.abs(out[0] - 0.25) > 1e-3).any(0)
+    assert mesh_px.any()
+    # GT green body: more green than red in mesh pixels
+    assert out[0, 1][mesh_px].mean() > out[0, 0][mesh_px].mean()
+
+    hd = HDRenderer()
+    outh = hd(v[None] - v.mean(0)[None, None], f,
+              focal_length=np.array([500.0]),
+              camera_translation=np.array([[0.0, 0.0, 8.0]]),
+              camera_center=np.array([[48.0, 40.0]]), bg_imgs=bg)
+    assert outh.shape == (1, 3, 80, 96)
+    # AA: fractional blend ring exists (pixels strictly between bg and body)
+    diff = np.abs(outh[0] - 0.25).max(0)
+    assert ((diff > 0.01) & (diff < 0.2)).sum() > 10
