@@ -31,13 +31,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
+    # make is dependency-driven: a no-op when the .so is fresh, a rebuild
+    # when shapy_native.cpp is newer (new kernels added).
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -57,6 +59,35 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ]
+    if hasattr(lib, "rasterize_fragments"):
+        lib.rasterize_fragments.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+    if hasattr(lib, "shade_fragments"):
+        lib.shade_fragments.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
     _lib = lib
     return _lib
 
@@ -93,6 +124,103 @@ def hull_perimeters(points: np.ndarray, mask: Optional[np.ndarray] = None
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def rasterize_fragments_native(
+    pts: np.ndarray,
+    z: np.ndarray,
+    faces: np.ndarray,
+    H: int,
+    W: int,
+    num_threads: int = 0,
+) -> Optional[tuple]:
+    """Threaded z-buffer geometry pass (native/shapy_native.cpp).
+
+    pts: (V, 2) screen coords, z: (V,) camera depths, faces: (F, 3).
+    Returns dense (face_id (H*W,) int32 with -1 empty, bary (H*W, 3)
+    float32, depth (H*W,) float32 with +inf empty), or None when the
+    native library is unavailable (caller falls back to numpy).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "rasterize_fragments"):
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    face_id = np.empty(H * W, np.int32)
+    bary = np.empty((H * W, 3), np.float32)
+    depth = np.empty(H * W, np.float32)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 8)
+    lib.rasterize_fragments(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        faces.shape[0], H, W,
+        face_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    return face_id, bary, depth
+
+
+def shade_fragments_native(
+    pix: np.ndarray,
+    fid: np.ndarray,
+    bary: np.ndarray,
+    vnormals: np.ndarray,
+    faces: np.ndarray,
+    base: np.ndarray,
+    lights: np.ndarray,
+    spec_color: np.ndarray,
+    shininess: float,
+    ambient: float,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    W: int,
+    ortho: bool = False,
+    num_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Threaded two-sided Blinn-Phong fragment shading
+    (native/shapy_native.cpp:shade_fragments; numpy semantics in
+    shapy_tpu/render/rasterizer.py:_blinn_phong). Returns rgb (N, 3)
+    float32 in [0, 1], or None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "shade_fragments"):
+        return None
+    pix = np.ascontiguousarray(pix, np.int64)
+    fid = np.ascontiguousarray(fid, np.int32)
+    bary = np.ascontiguousarray(bary, np.float32)
+    vnormals = np.ascontiguousarray(vnormals, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    base = np.ascontiguousarray(
+        np.broadcast_to(base, (pix.shape[0], 3)), np.float32)
+    lights = np.ascontiguousarray(lights, np.float32).reshape(-1, 4)
+    spec_color = np.ascontiguousarray(spec_color, np.float32).reshape(3)
+    rgb = np.empty((pix.shape[0], 3), np.float32)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 8)
+    lib.shade_fragments(
+        pix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pix.shape[0],
+        vnormals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lights.shape[0],
+        spec_color.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        float(shininess), float(ambient),
+        float(fx), float(fy), float(cx), float(cy),
+        int(W), int(bool(ortho)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    return rgb
 
 
 def affine_warp_batch(

@@ -128,7 +128,21 @@ def _raster_fragments(pts: np.ndarray, z: np.ndarray, f: np.ndarray,
     grid, so the work is sum(bbox areas) with no aspect-ratio padding
     blowup; ``chunk_budget`` only bounds peak memory by slicing the flat
     candidate array.
+
+    When the native library is available the whole pass runs in the
+    threaded C++ kernel (native/shapy_native.cpp:rasterize_fragments,
+    same fragment semantics); this numpy body is the fallback.
     """
+    from shapy_tpu.io.native import rasterize_fragments_native
+
+    dense = rasterize_fragments_native(
+        pts.astype(np.float32), z.astype(np.float32), f, H, W)
+    if dense is not None:
+        fid_buf, bary_buf, depth_buf = dense
+        pix = np.nonzero(fid_buf >= 0)[0]
+        return (pix, fid_buf[pix].astype(np.int64),
+                bary_buf[pix].astype(np.float64),
+                depth_buf[pix].astype(np.float64))
     tri = pts[f]  # (F, 3, 2)
     xmin = np.clip(np.floor(tri[:, :, 0].min(1)).astype(np.int64), 0, W)
     xmax = np.clip(np.ceil(tri[:, :, 0].max(1)).astype(np.int64) + 1, 0, W)
@@ -211,6 +225,42 @@ def _raster_fragments(pts: np.ndarray, z: np.ndarray, f: np.ndarray,
     first[1:] = pix_sorted[1:] != pix_sorted[:-1]
     keep = order[first]
     return pix[keep], fid[keep], bary[keep], zc[keep]
+
+
+def shade_covered(pix, fid, bary, v, f, material, base, fxy, cc, W,
+                  ortho=False):
+    """Shade covered fragments: interpolated per-pixel normals +
+    two-sided Blinn-Phong. ``base`` is (3,) or (N, 3) diffuse color.
+    Runs in the threaded native kernel when available
+    (native/shapy_native.cpp:shade_fragments), numpy otherwise."""
+    from shapy_tpu.io.native import shade_fragments_native
+
+    vn = _vertex_normals(v, f)
+    lights = []
+    for d, inten in _LIGHT_RIG:
+        d = np.asarray(d, np.float64)
+        lights.append(list(d / np.linalg.norm(d)) + [inten])
+    lights = np.asarray(lights, np.float32)
+    rgb = shade_fragments_native(
+        pix, fid, bary, vn, f, base, lights, material.specular_color,
+        material.shininess, _AMBIENT, fxy[0], fxy[1], cc[0], cc[1], W,
+        ortho=ortho)
+    if rgb is not None:
+        return rgb
+    n = (bary[:, :, None] * vn[f[fid]]).sum(1)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    if ortho:
+        view = np.zeros((pix.size, 3))
+        view[:, 2] = -1.0
+    else:
+        gy, gx = pix // W, pix % W
+        view = -np.stack([(gx - cc[0]) / fxy[0], (gy - cc[1]) / fxy[1],
+                          np.ones(pix.size)], axis=1)
+        view /= np.linalg.norm(view, axis=1, keepdims=True)
+    diff, spec = _blinn_phong(n, view, material)
+    base = np.broadcast_to(np.asarray(base, np.float64),
+                           (pix.size, 3))
+    return np.clip(base * diff[:, None] + spec, 0.0, 1.0)
 
 
 def _blinn_phong(n: np.ndarray, view: np.ndarray,
@@ -365,21 +415,14 @@ def render_mesh(
     if pix.size:
         depth[pix] = zsel
         alpha[pix] = 1.0
-        vn = _vertex_normals(v, f)
-        n = (bary[:, :, None] * vn[f[fid]]).sum(1)
-        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
-        gy, gx = pix // Ws, pix % Ws
-        view = -np.stack([(gx - cc[0]) / fl[0], (gy - cc[1]) / fl[1],
-                          np.ones(pix.size)], axis=1)
-        view /= np.linalg.norm(view, axis=1, keepdims=True)
-        diff, spec = _blinn_phong(n, view, material)
         if vertex_colors is not None:
             vc = np.asarray(vertex_colors, np.float64).reshape(-1, 3)
             base = (bary[:, :, None] * vc[f[fid]]).sum(1)
             base *= (1.0 - material.metallic)
         else:
-            base = material.diffuse_color[None, :]
-        rgb[pix] = np.clip(base * diff[:, None] + spec, 0.0, 1.0)
+            base = material.diffuse_color
+        rgb[pix] = shade_covered(pix, fid, bary, v, f, material, base,
+                                 fl, cc, Ws)
 
     rgb = rgb.reshape(Hs, Ws, 3)
     alpha = alpha.reshape(Hs, Ws)

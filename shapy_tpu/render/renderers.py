@@ -21,10 +21,9 @@ import numpy as np
 
 from shapy_tpu.render.rasterizer import (
     Material,
-    _blinn_phong,
     _raster_fragments,
-    _vertex_normals,
     render_mesh,
+    shade_covered,
 )
 
 # Reference body colors (plot_utils.py:19-30): 'N' = neutral prediction,
@@ -144,19 +143,14 @@ def _ortho_shade(pts, v, faces, H, W, material: Material,
     alpha = np.zeros(H * W)
     if pix.size:
         alpha[pix] = 1.0
-        vn = _vertex_normals(v, faces)
-        n = (bary[:, :, None] * vn[faces[fid]]).sum(1)
-        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
-        view = np.zeros((pix.size, 3))
-        view[:, 2] = -1.0
-        diff, spec = _blinn_phong(n, view, material)
         if vertex_colors is not None:
             vc = np.asarray(vertex_colors, np.float64).reshape(-1, 3)
             base = (bary[:, :, None] * vc[faces[fid]]).sum(1)
             base *= (1.0 - material.metallic)
         else:
-            base = material.diffuse_color[None, :]
-        rgb[pix] = np.clip(base * diff[:, None] + spec, 0.0, 1.0)
+            base = material.diffuse_color
+        rgb[pix] = shade_covered(pix, fid, bary, v, faces, material, base,
+                                 (1.0, 1.0), (0.0, 0.0), W, ortho=True)
     return rgb.reshape(H, W, 3), alpha.reshape(H, W)
 
 

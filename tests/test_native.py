@@ -55,3 +55,45 @@ def test_native_warp_threads(rng):
     out4 = affine_warp_batch(img, A, (40, 40), num_threads=4)
     np.testing.assert_array_equal(out1, out4)
     np.testing.assert_allclose(out1, img, atol=1e-6)
+
+
+def test_native_raster_and_shade_match_numpy(rng):
+    """The C++ geometry + shading kernels agree with the numpy fallback
+    at float32 tolerance: identical coverage, ~1e-5 rgb/depth deltas."""
+    import shapy_tpu.io.native as nat
+    from shapy_tpu.render.rasterizer import render_mesh
+
+    if not nat.native_available():
+        pytest.skip("native library unavailable")
+
+    # low-poly sphere (same generator as tests/test_render.py)
+    us = np.linspace(0, np.pi, 16)
+    vs = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    verts = [[0.5 * np.sin(u) * np.cos(w), 0.5 * np.sin(u) * np.sin(w),
+              8.0 + 0.5 * np.cos(u)] for u in us for w in vs]
+    faces = []
+    for i in range(15):
+        for j in range(32):
+            a, b = i * 32 + j, i * 32 + (j + 1) % 32
+            c, d = (i + 1) * 32 + j, (i + 1) * 32 + (j + 1) % 32
+            faces += [[a, b, c], [b, d, c]]
+    v, f = np.asarray(verts), np.asarray(faces)
+
+    rgb_n, a_n, d_n = render_mesh(v, f, (96, 96), 600.0)
+    lib, tried = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True  # force the numpy fallback
+        rgb_p, a_p, d_p = render_mesh(v, f, (96, 96), 600.0)
+    finally:
+        nat._lib, nat._tried = lib, tried
+
+    # coverage may differ on exact-edge ties only
+    assert ((a_n > 0) == (a_p > 0)).mean() > 0.999
+    both = (a_n > 0) & (a_p > 0)
+    # f32 vs f64 z-interpolation can pick a different (equally valid)
+    # winning face along triangle seams -> a different normal there;
+    # everything off the seams must agree to float32 precision.
+    rgb_delta = np.abs(rgb_n[both] - rgb_p[both]).max(axis=1)
+    assert np.quantile(rgb_delta, 0.99) < 1e-4, rgb_delta.max()
+    d_delta = np.abs(d_n[both] - d_p[both])
+    assert np.quantile(d_delta, 0.99) < 1e-4, d_delta.max()
