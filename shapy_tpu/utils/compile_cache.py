@@ -6,6 +6,14 @@ directory by hostname alone is not enough (the same hostname can move
 between machine types in a scheduled fleet), so the key also hashes the
 /proc/cpuinfo feature flags: a different microarchitecture gets a fresh
 directory instead of a poisoned one.
+
+Residual noise: XLA:CPU embeds LLVM *tuning preferences*
+(+prefer-no-scatter/+prefer-no-gather) in its AOT artifacts, and the
+loader's host-feature probe never reports those, so cpu_aot_loader
+prints a "machine features don't match / could SIGILL" error even when
+the artifact was compiled on THIS machine. That warning is benign
+(tuning flags, not ISA extensions); the keying here addresses the real
+risk — artifacts crossing microarchitectures.
 """
 
 from __future__ import annotations
