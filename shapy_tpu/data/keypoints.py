@@ -479,6 +479,20 @@ def _connections() -> List[Tuple[str, str]]:
 KEYPOINT_CONNECTIONS = _connections()
 
 
+def connections_for_names(
+    names: Sequence[str],
+) -> Tuple[Tuple[int, int], ...]:
+    """Skeleton edges as index pairs for an ARBITRARY name list (e.g. a
+    model head's target keypoint order) — the generic form of
+    :func:`kp_connections`."""
+    index = {n: i for i, n in enumerate(names)}
+    return tuple(
+        (index[a], index[b])
+        for a, b in KEYPOINT_CONNECTIONS
+        if a in index and b in index
+    )
+
+
 @lru_cache(maxsize=None)
 def kp_connections(fmt: str, part: str = "") -> Tuple[Tuple[int, int], ...]:
     names = KEYPOINT_NAMES_DICT[fmt]

@@ -128,6 +128,7 @@ class Evaluator:
         render_summaries: bool = True,
         v2v_alignments: Dict[str, PointError] | None = None,
         v2v_t_alignments: Dict[str, PointError] | None = None,
+        keypoint_names=None,
     ):
         self.point_regressor = point_regressor
         self.target_point_regressor = target_point_regressor
@@ -151,6 +152,10 @@ class Evaluator:
         # Mesh-overlay summaries ride the host rasteriser; opt out for
         # metric-only runs (reference gates similarly via summary_steps).
         self.render_summaries = render_summaries
+        # Model joint order -> skeleton edges for the GT/estimated
+        # keypoint summary grids (reference evaluation.py:345-395).
+        self.keypoint_names = (
+            None if keypoint_names is None else list(keypoint_names))
         # Config-driven vertex-metric alignments (reference Metrics
         # dataclass, config/defaults.py:29-35: v2v over
         # procrustes/scale/translation, v2v_t over scale/translation).
@@ -261,8 +266,12 @@ class Evaluator:
         max_images: int = 4,
         mean=(0.485, 0.456, 0.406),
         std=(0.229, 0.224, 0.225),
+        targets: Optional[Dict[str, Any]] = None,
     ) -> Optional[np.ndarray]:
-        """Mesh-overlay image grid (reference evaluation.py:438-569).
+        """Mesh-overlay image grid (reference evaluation.py:438-569),
+        plus GT/estimated keypoint-skeleton grids when the model joint
+        order is known (``keypoint_names``) and ``targets`` carry
+        ``target_keypoints2d``.
 
         images: (B, H, W, 3) normalised crops; renders the predicted mesh
         over the first ``max_images`` and logs via the summary writer.
@@ -337,7 +346,50 @@ class Evaluator:
             self.summary_writer.add_image(
                 tag, (grid.transpose(2, 0, 1) * 255).astype(np.uint8), step
             )
+        self._keypoint_summaries(
+            imgs, outputs, targets, tag, step, last_stage, mean, std)
         return grid
+
+    def _keypoint_summaries(
+        self, imgs, outputs, targets, tag, step, last_stage, mean, std
+    ) -> None:
+        """GT-keypoint and estimated-keypoint skeleton grids next to the
+        mesh overlays (reference evaluation.py:345-395: keyp_target_to_
+        image over the targets, create_skel_img over proj_joints scaled
+        to crop pixels)."""
+        if self.keypoint_names is None or self.summary_writer is None:
+            return
+        from shapy_tpu.data.keypoints import connections_for_names
+        from shapy_tpu.render.skeleton import create_skel_img
+
+        connections = connections_for_names(self.keypoint_names)
+        stage = outputs.get(last_stage) or {}
+        S = imgs.shape[2]
+
+        def log_grid(kind, kp_batch, valid_batch):
+            rows = []
+            for i in range(len(imgs)):
+                rgb = np.clip(imgs[i] * std + mean, 0, 1)
+                kp_px = (np.asarray(kp_batch[i])[:, :2] + 1.0) * 0.5 * S
+                rows.append(create_skel_img(
+                    rgb, kp_px, connections,
+                    valid=valid_batch[i] if valid_batch is not None
+                    else None,
+                    names=self.keypoint_names))
+            g = np.concatenate(rows, axis=1)
+            self.summary_writer.add_image(
+                f"{tag}/{kind}", (g.transpose(2, 0, 1) * 255).astype(
+                    np.uint8), step)
+
+        gt = (targets or {}).get("target_keypoints2d")
+        if gt is not None:
+            gt = np.asarray(gt)[:len(imgs)]
+            log_grid("gt_keypoints", gt, gt[..., -1] > 0)
+        est = stage.get("proj_joints")
+        if est is None:
+            est = outputs.get("proj_joints")
+        if est is not None:
+            log_grid("est_keypoints", np.asarray(est)[:len(imgs)], None)
 
     # -- full run ----------------------------------------------------------
     def run(
@@ -373,7 +425,7 @@ class Evaluator:
                     self.create_image_summaries(
                         np.asarray(images), outputs,
                         tag=f"{ds_name}/Images", step=step,
-                        last_stage=last_stage,
+                        last_stage=last_stage, targets=targets,
                     )
                     first_batch = False
                 genders = batch.get("genders")
@@ -533,5 +585,6 @@ def build_evaluator(exp_cfg: Optional[Dict] = None,
         point_regressor=point_regressor,
         target_point_regressor=target_regressor,
         j14_regressor=j14,
+        keypoint_names=keypoint_names,
         **kwargs,
     )

@@ -202,3 +202,82 @@ def test_gt_and_hd_renderers():
     # AA: fractional blend ring exists (pixels strictly between bg and body)
     diff = np.abs(outh[0] - 0.25).max(0)
     assert ((diff > 0.01) & (diff < 0.2)).sum() > 10
+
+
+def test_skeleton_drawing():
+    """create_skel_img: left joints red / right blue, invalid edges
+    skipped; keyp_target_to_image resolves names+connections from the
+    registry format; bbox drawing (reference plot_utils.py:138-236)."""
+    from shapy_tpu.render import (create_bbox_img, create_skel_img,
+                                  keyp_target_to_image)
+    from shapy_tpu.data.keypoints import (KEYPOINT_NAMES_DICT,
+                                          connections_for_names,
+                                          kp_connections)
+
+    img = np.zeros((64, 64, 3), np.float32)
+    names = ["pelvis", "left_hip", "right_hip", "left_knee"]
+    conns = connections_for_names(names)
+    assert (0, 1) in conns and (0, 2) in conns and (1, 3) in conns
+    kp = np.array([[32, 10], [12, 40], [52, 40], [12, 60]], np.float64)
+
+    out = create_skel_img(img, kp, conns, names=names)
+    assert out.shape == img.shape
+    # left leg region is red-dominant, right hip region blue-dominant
+    left = out[35:45, 8:16]
+    right = out[35:45, 48:56]
+    assert left[..., 0].sum() > left[..., 2].sum()
+    assert right[..., 2].sum() > right[..., 0].sum()
+
+    # invalid joints suppress their edges
+    out2 = create_skel_img(img, kp, conns, names=names,
+                           valid=np.array([1, 1, 0, 1]))
+    assert out2[35:45, 48:56].sum() == 0.0
+
+    # registry-format wrapper: openpose25_v1 names/edges resolve
+    kp25 = np.zeros((len(KEYPOINT_NAMES_DICT["openpose25_v1"]), 3),
+                    np.float32)
+    kp25[:, 0] = 32; kp25[:, 1] = 32; kp25[:, 2] = 1.0
+    assert len(kp_connections("openpose25_v1")) > 10
+    out3 = keyp_target_to_image(img, kp25, "openpose25_v1")
+    assert out3.sum() > 0
+
+    box = create_bbox_img(img, np.array([8, 8, 56, 56]),
+                          color=(1.0, 1.0, 1.0))
+    assert box[8, 8:56].sum() > 0 and box[32, 32].sum() == 0
+
+
+def test_evaluator_keypoint_summaries():
+    """The evaluator logs gt/est keypoint skeleton grids when it knows
+    the model joint order (reference evaluation.py:345-395)."""
+    from shapy_tpu.eval.evaluator import Evaluator
+
+    logged = {}
+
+    class Writer:
+        def add_image(self, tag, img, step):
+            logged[tag] = img
+
+        def add_scalar(self, *a, **k):
+            pass
+
+    names = ["pelvis", "left_hip", "right_hip", "left_knee", "neck"]
+    ev = Evaluator(summary_writer=Writer(), keypoint_names=names,
+                   render_summaries=True)
+    B, S, K = 2, 32, len(names)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(B, S, S, 3)).astype(np.float32)
+    verts = rng.normal(size=(B, 12, 3)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    outputs = {"stage_00": {
+        "vertices": verts, "faces": faces,
+        "proj_joints": rng.uniform(-0.5, 0.5, (B, K, 2)),
+    }}
+    targets = {"target_keypoints2d": np.concatenate(
+        [rng.uniform(-0.5, 0.5, (B, K, 2)), np.ones((B, K, 1))], axis=-1)}
+    ev.create_image_summaries(imgs, outputs, tag="ds/Images", step=0,
+                              last_stage="stage_00", targets=targets)
+    assert "ds/Images" in logged
+    assert "ds/Images/gt_keypoints" in logged
+    assert "ds/Images/est_keypoints" in logged
+    g = logged["ds/Images/gt_keypoints"]
+    assert g.shape == (3, S, B * S) and g.max() > 0
