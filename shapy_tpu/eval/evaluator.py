@@ -312,7 +312,16 @@ class Evaluator:
                     cam_scale[:, None], 1e-9
                 )
 
+        # GT meshes (reference GTRenderer path, evaluation.py:79-82,
+        # 446-447): rendered GT-green with the SAME camera as the
+        # prediction so the two grids are comparable side by side.
+        gt_verts = (targets or {}).get("gt_vertices")
+        if gt_verts is not None:
+            gt_verts = np.asarray(gt_verts)[:max_images]
+        gt_green = (146 / 255.0, 189 / 255.0, 163 / 255.0)
+
         overlays = []
+        gt_overlays = []
         for i in range(len(imgs)):
             rgb = np.clip(imgs[i] * std + mean, 0, 1)
             S = rgb.shape[1]
@@ -330,22 +339,45 @@ class Evaluator:
                         shading_mode="phong", supersample=2,
                     )
                 )
+                if gt_verts is not None:
+                    gt_overlays.append(render_mesh_overlay(
+                        rgb, gt_verts[i], np.asarray(faces),
+                        transl=transl, focal_length=DEFAULT_FOCAL_LENGTH,
+                        color=gt_green, shading_mode="phong",
+                        supersample=2,
+                    ))
             else:
-                v = verts[i] - verts[i].mean(0)
-                v = v * np.asarray([1.0, -1.0, -1.0])
-                v[:, 2] += 2.5
+                def center(v):
+                    v = v - v.mean(0)
+                    v = v * np.asarray([1.0, -1.0, -1.0])
+                    v[:, 2] += 2.5
+                    return v
+
                 overlays.append(
                     render_mesh_overlay(
-                        rgb, v, np.asarray(faces),
+                        rgb, center(verts[i]), np.asarray(faces),
                         focal_length=500.0 * S / 512,
                         shading_mode="phong", supersample=2,
                     )
                 )
+                if gt_verts is not None:
+                    gt_overlays.append(render_mesh_overlay(
+                        rgb, center(np.array(gt_verts[i])),
+                        np.asarray(faces), focal_length=500.0 * S / 512,
+                        color=gt_green, shading_mode="phong",
+                        supersample=2,
+                    ))
         grid = np.concatenate(overlays, axis=1)
         if self.summary_writer is not None:
             self.summary_writer.add_image(
                 tag, (grid.transpose(2, 0, 1) * 255).astype(np.uint8), step
             )
+            if gt_overlays:
+                gt_grid = np.concatenate(gt_overlays, axis=1)
+                self.summary_writer.add_image(
+                    f"{tag}/gt_mesh",
+                    (gt_grid.transpose(2, 0, 1) * 255).astype(np.uint8),
+                    step)
         self._keypoint_summaries(
             imgs, outputs, targets, tag, step, last_stage, mean, std)
         return grid

@@ -272,12 +272,17 @@ def test_evaluator_keypoint_summaries():
         "vertices": verts, "faces": faces,
         "proj_joints": rng.uniform(-0.5, 0.5, (B, K, 2)),
     }}
-    targets = {"target_keypoints2d": np.concatenate(
-        [rng.uniform(-0.5, 0.5, (B, K, 2)), np.ones((B, K, 1))], axis=-1)}
+    targets = {
+        "target_keypoints2d": np.concatenate(
+            [rng.uniform(-0.5, 0.5, (B, K, 2)), np.ones((B, K, 1))],
+            axis=-1),
+        "gt_vertices": verts + 0.01,
+    }
     ev.create_image_summaries(imgs, outputs, tag="ds/Images", step=0,
                               last_stage="stage_00", targets=targets)
     assert "ds/Images" in logged
     assert "ds/Images/gt_keypoints" in logged
     assert "ds/Images/est_keypoints" in logged
+    assert "ds/Images/gt_mesh" in logged  # GT-green mesh grid
     g = logged["ds/Images/gt_keypoints"]
     assert g.shape == (3, S, B * S) and g.max() > 0
