@@ -129,6 +129,7 @@ class Evaluator:
         v2v_alignments: Dict[str, PointError] | None = None,
         v2v_t_alignments: Dict[str, PointError] | None = None,
         keypoint_names=None,
+        degrees: tuple = (),
     ):
         self.point_regressor = point_regressor
         self.target_point_regressor = target_point_regressor
@@ -156,6 +157,10 @@ class Evaluator:
         # keypoint summary grids (reference evaluation.py:345-395).
         self.keypoint_names = (
             None if keypoint_names is None else list(keypoint_names))
+        # Extra no-background viewpoints appended to each summary row
+        # (reference exp_cfg 'degrees', evaluation.py:76 — empty when
+        # unset; full configs ship (90, 180, 270)).
+        self.degrees = tuple(degrees or ())
         # Config-driven vertex-metric alignments (reference Metrics
         # dataclass, config/defaults.py:29-35: v2v over
         # procrustes/scale/translation, v2v_t over scale/translation).
@@ -287,6 +292,7 @@ class Evaluator:
         when no camera is present in the outputs.
         """
         from shapy_tpu.render import render_mesh_overlay
+        from shapy_tpu.render.renderers import _rotate_y
 
         stage = outputs.get(last_stage) or {}
         vertices = stage.get("vertices")
@@ -320,8 +326,15 @@ class Evaluator:
             gt_verts = np.asarray(gt_verts)[:max_images]
         gt_green = (146 / 255.0, 189 / 255.0, 163 / 255.0)
 
+        def center(v):
+            v = v - v.mean(0)
+            v = v * np.asarray([1.0, -1.0, -1.0])
+            v[:, 2] += 2.5
+            return v
+
         overlays = []
         gt_overlays = []
+        f = np.asarray(faces)
         for i in range(len(imgs)):
             rgb = np.clip(imgs[i] * std + mean, 0, 1)
             S = rgb.shape[1]
@@ -332,41 +345,31 @@ class Evaluator:
                 transl = np.asarray(
                     [cam_transl[i, 0], cam_transl[i, 1], z]
                 )
-                overlays.append(
-                    render_mesh_overlay(
-                        rgb, verts[i], np.asarray(faces), transl=transl,
-                        focal_length=DEFAULT_FOCAL_LENGTH,
-                        shading_mode="phong", supersample=2,
-                    )
-                )
-                if gt_verts is not None:
-                    gt_overlays.append(render_mesh_overlay(
-                        rgb, gt_verts[i], np.asarray(faces),
-                        transl=transl, focal_length=DEFAULT_FOCAL_LENGTH,
-                        color=gt_green, shading_mode="phong",
-                        supersample=2,
-                    ))
+                v_cam = verts[i] + transl[None]
+                v_gt = None if gt_verts is None else gt_verts[i] + transl
+                fl = DEFAULT_FOCAL_LENGTH
             else:
-                def center(v):
-                    v = v - v.mean(0)
-                    v = v * np.asarray([1.0, -1.0, -1.0])
-                    v[:, 2] += 2.5
-                    return v
-
-                overlays.append(
-                    render_mesh_overlay(
-                        rgb, center(verts[i]), np.asarray(faces),
-                        focal_length=500.0 * S / 512,
-                        shading_mode="phong", supersample=2,
-                    )
-                )
-                if gt_verts is not None:
-                    gt_overlays.append(render_mesh_overlay(
-                        rgb, center(np.array(gt_verts[i])),
-                        np.asarray(faces), focal_length=500.0 * S / 512,
-                        color=gt_green, shading_mode="phong",
-                        supersample=2,
-                    ))
+                v_cam = center(np.array(verts[i]))
+                v_gt = (None if gt_verts is None
+                        else center(np.array(gt_verts[i])))
+                fl = 500.0 * S / 512
+            row = [render_mesh_overlay(
+                rgb, v_cam, f, focal_length=fl,
+                shading_mode="phong", supersample=2)]
+            # extra no-background viewpoints (reference
+            # render_mesh_overlay degrees loop, evaluation.py:421-434;
+            # config default (90, 180, 270), config/defaults.py:74)
+            blank = np.zeros_like(rgb)
+            for deg in self.degrees:
+                row.append(render_mesh_overlay(
+                    blank, _rotate_y(v_cam, float(deg)), f,
+                    focal_length=fl, shading_mode="phong",
+                    supersample=2))
+            overlays.append(np.concatenate(row, axis=1))
+            if v_gt is not None:
+                gt_overlays.append(render_mesh_overlay(
+                    rgb, v_gt, f, focal_length=fl, color=gt_green,
+                    shading_mode="phong", supersample=2))
         grid = np.concatenate(overlays, axis=1)
         if self.summary_writer is not None:
             self.summary_writer.add_image(
@@ -597,6 +600,7 @@ def build_evaluator(exp_cfg: Optional[Dict] = None,
     # J14 regressor for mpjpe14 (reference evaluation.py:621-635:
     # top-level cfg key 'j14_regressor_path', .pkl loaded latin1 or .npy,
     # truncated to the first 14 rows).
+    kwargs.setdefault("degrees", tuple(cfg.get("degrees") or ()))
     j14 = kwargs.pop("j14_regressor", None)
     j14_path = os.path.expandvars(cfg.get("j14_regressor_path", "") or "")
     if j14 is None and j14_path and os.path.exists(j14_path):

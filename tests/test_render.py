@@ -286,3 +286,32 @@ def test_evaluator_keypoint_summaries():
     assert "ds/Images/gt_mesh" in logged  # GT-green mesh grid
     g = logged["ds/Images/gt_keypoints"]
     assert g.shape == (3, S, B * S) and g.max() > 0
+
+
+def test_evaluator_degrees_viewpoints():
+    """degrees config appends rotated no-background views to each
+    summary row (reference evaluation.py:421-434, defaults.py:74)."""
+    from shapy_tpu.eval.evaluator import Evaluator, build_evaluator
+
+    logged = {}
+
+    class Writer:
+        def add_image(self, tag, img, step):
+            logged[tag] = img
+
+    rng = np.random.default_rng(1)
+    B, S = 2, 32
+    imgs = rng.uniform(size=(B, S, S, 3)).astype(np.float32)
+    outputs = {"stage_00": {
+        "vertices": rng.normal(size=(B, 12, 3)).astype(np.float32),
+        "faces": np.array([[0, 1, 2], [3, 4, 5]]),
+    }}
+    ev = Evaluator(summary_writer=Writer(), degrees=(90, 180))
+    ev.create_image_summaries(imgs, outputs, tag="t", step=0,
+                              last_stage="stage_00")
+    # each row: overlay + 2 rotated views -> width = 3 * B * S
+    assert logged["t"].shape == (3, S, 3 * B * S)
+
+    ev2 = build_evaluator({"degrees": [90]})
+    assert ev2.degrees == (90,)
+    assert build_evaluator({}).degrees == ()
