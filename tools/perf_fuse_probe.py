@@ -7,10 +7,13 @@ fusions already at the chip's practical HBM roofline?
 
 Method, three measurements on the real chip:
 
-1. **Triad roofline** — time standalone ``relu(a+b+...)`` jits at the
-   exact per-branch fuse shapes (bf16, batch 128). Bytes = (k reads +
-   1 write) * 2; this is the speed-of-light for ANY arrangement that
-   materialises the same operands, regardless of how XLA groups them.
+1. **Triad roofline** — chained fori_loop ``relu(c + b_j * (1+i*eps))``
+   kernels timed from a profiler capture's DEVICE events (tunnel
+   wall-clock noise never enters). Shapes at the real per-branch fuse
+   sizes stay VMEM-resident across iterations and measure VMEM
+   bandwidth (TB/s — a finding in itself); an 8x-batch variant with a
+   >=600 MB working set measures the true HBM roofline. Bytes =
+   (k reads + 1 write) * 2.
 2. **Analytic minimal traffic** — from the W48 fuse topology (stage2
    1x2br, stage3 4x3br, stage4 3x4br @ 64/32/16/8 px, 48/96/192/384 ch):
    per target, write + identity read + coarse-size reads for upsampled
@@ -18,13 +21,16 @@ Method, three measurements on the real chip:
    the add so the read happens at SOURCE resolution) + target-size
    reads for downsampled contributions. Minimal ms = bytes / triad GB/s.
 3. **Profiled attribution** — jax.profiler capture of the backbone
-   forward at batch 128, tf_op-grouped (same pipeline that produced the
-   round-3 ledger), summing rows attributed to the fuse adds.
+   forward at batch 128; per-KERNEL device times joined with exact
+   operand/output bytes parsed from the optimized HLO text
+   (compiled.as_text()), so each elementwise fusion gets an achieved
+   GB/s against the measured roofline.
 
-Verdict rule: recoverable = measured_fuse_ms - analytic_minimal_ms. If
-that is ~0 the adds are at speed of light and the probe is REJECTED
-with numbers; a real gap would localise which fuse stage leaves
-bandwidth on the table.
+Verdict rule: recoverable = measured_elementwise_ms - modeled_bytes /
+HBM_roofline. Measured BELOW the model (the round-5 outcome: 10.5 ms vs
+18.1 ms modeled) means XLA already serves part of the operands from
+VMEM — nothing a rearrangement that materialises the same operands can
+recover; REJECTED with numbers (BENCH.md round-5 ledger).
 
 Usage: python tools/perf_fuse_probe.py [batch]
 """
@@ -166,9 +172,6 @@ def analytic_fuse_bytes(batch):
         per_stage.append(stage_bytes)
         total += stage_bytes
     return total, per_stage
-
-
-_SHAPE_RE = None
 
 
 def _parse_hlo_buffers(hlo_text):
