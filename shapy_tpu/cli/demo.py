@@ -381,30 +381,47 @@ def _save_sample_outputs(regressor, out, bi, sample, demo_output_folder,
         )
 
     if save_vis and full_img is not None:
-        from shapy_tpu.render import render_mesh_overlay
-
-        overlay = render_mesh_overlay(
-            full_img,
-            vertices,
-            faces,
-            transl=hd_params["transl"][0],
-            focal_length=focal_length,
-            # principal point = subject bbox center, like the
-            # reference's IntrinsicsCamera (plot_utils.py:719-723)
-            camera_center=hd_params["center"][0],
-            # HDRenderer look: lit material + anti-aliased silhouette
-            shading_mode="phong",
-            supersample=2,
-        )
+        # Reference output-file surface (demo.py:253-325): the raw HD
+        # image plus, per stage, an RGBA overlay and an [orig|overlay]
+        # side-by-side, named {img}_hd_imgs / _hd_{stage}_overlay /
+        # _hd_{stage}_cat, with the tab10 per-stage body color.
         import cv2
 
-        cv2.imwrite(
-            os.path.join(demo_output_folder, f"{imgname}_overlay.png"),
-            cv2.cvtColor(
-                (np.clip(overlay, 0, 1) * 255).astype(np.uint8),
-                cv2.COLOR_RGB2BGR,
-            ),
-        )
+        from shapy_tpu.render import COLORS, HDRenderer
+
+        hd = HDRenderer()  # lit material + anti-aliased silhouette
+        bg = np.transpose(
+            np.asarray(full_img, np.float32), (2, 0, 1))[None]
+
+        def write(name, img_chw):
+            arr = np.clip(
+                np.transpose(img_chw, (1, 2, 0)) * 255, 0, 255
+            ).astype(np.uint8)
+            code = (cv2.COLOR_RGBA2BGRA if arr.shape[-1] == 4
+                    else cv2.COLOR_RGB2BGR)
+            cv2.imwrite(os.path.join(demo_output_folder, name),
+                        cv2.cvtColor(arr, code))
+
+        write(f"{imgname}_hd_imgs.png", bg[0])
+        for si in range(regressor.num_stages):
+            key = f"stage_{si:02d}"
+            st = out.get(key) or {}
+            v = st.get("vertices")
+            if v is None:
+                continue
+            overlay = hd(
+                np.asarray(v)[bi:bi + 1], faces,
+                focal_length=hd_params["focal_length_in_px"][0:1],
+                camera_translation=hd_params["transl"][0:1],
+                # principal point = subject bbox center, like the
+                # reference's IntrinsicsCamera (plot_utils.py:719-723)
+                camera_center=hd_params["center"][0:1],
+                bg_imgs=bg, return_with_alpha=True,
+                body_color=COLORS.get(key, COLORS["default"]),
+            )
+            write(f"{imgname}_hd_{key}_overlay.png", overlay[0])
+            write(f"{imgname}_hd_{key}_cat.png",
+                  np.concatenate([bg[0], overlay[0][:3]], axis=-1))
 
 
 def build_parser():

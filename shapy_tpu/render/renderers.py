@@ -27,11 +27,23 @@ from shapy_tpu.render.rasterizer import (
 )
 
 # Reference body colors (plot_utils.py:19-30): 'N' = neutral prediction,
-# 'GT' = ground-truth green.
+# 'GT' = ground-truth green, 'stage_NN' = matplotlib tab10 per-stage
+# colors (the reference builds them with mpl_cm.get_cmap('tab10');
+# hardcoded here so rendering needs no matplotlib).
+_TAB10 = (
+    (31, 119, 180), (255, 127, 14), (44, 160, 44), (214, 39, 40),
+    (148, 103, 189), (140, 86, 75), (227, 119, 194), (127, 127, 127),
+    (188, 189, 34), (23, 190, 207),
+)
 COLORS = {
     "N": (1.0, 1.0, 0.9),
     "GT": (146 / 255.0, 189 / 255.0, 163 / 255.0),
+    "pre_fusion": (81 / 255.0, 23 / 255.0, 186 / 255.0),
+    "final": (0.4, 0.4, 0.8),
+    "default": (1.0, 1.0, 0.9),
 }
+for _stage, (_r, _g, _b) in enumerate(_TAB10):
+    COLORS[f"stage_{_stage:02d}"] = (_r / 255.0, _g / 255.0, _b / 255.0)
 
 
 def _rotate_y(vertices: np.ndarray, deg: float) -> np.ndarray:

@@ -168,3 +168,65 @@ def test_demo_npz_roundtrip_through_virtual_measurements(
         v_regen = body.forward_shape(betas)["v_shaped"]
         np.testing.assert_allclose(
             np.asarray(v_regen[0]), np.asarray(v_shaped[0]), atol=2e-5)
+
+
+def test_demo_save_vis_reference_filenames(tmp_path, monkeypatch):
+    """save_vis writes the reference demo's output-file surface
+    (demo.py:253-325): {img}_hd_imgs.png, {img}_hd_{stage}_overlay.png
+    (RGBA), {img}_hd_{stage}_cat.png ([orig|overlay], double width)."""
+    import json
+
+    import cv2
+
+    import shapy_tpu.cli.demo as demo_mod
+    from shapy_tpu.measure import BodyMeasurements, MeasurementAnchors
+    from shapy_tpu.models.body import SMPLX, make_synthetic_model_data
+    from shapy_tpu.models.heads import build_body_head
+
+    # tiny synthetic input: one 96x72 image + openpose json
+    data = tmp_path / "data"
+    (data / "images").mkdir(parents=True)
+    (data / "openpose").mkdir()
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(size=(96, 72, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(data / "images" / "img_00.png"), img)
+    kp = np.zeros((25, 3), np.float32)
+    kp[:, 0] = 36.0 + 20.0 * np.sin(np.linspace(0, 6, 25))
+    kp[:, 1] = np.linspace(10, 86, 25)
+    kp[:, 2] = 0.9
+    json.dump({"people": [{"pose_keypoints_2d": kp.reshape(-1).tolist()}]},
+              open(data / "openpose" / "img_00.json", "w"))
+
+    cfg = dict(_demo_cfg())
+    cfg["datasets"] = {
+        "crop_size": 64,
+        "pose": {"openpose": {"data_folder": str(data),
+                              "img_folder": "images",
+                              "keyp_folder": "openpose"}},
+    }
+    body = SMPLX(model_data=make_synthetic_model_data(
+        "smplx", subdivisions=1))
+    anchors = MeasurementAnchors.synthetic(
+        body.faces, np.asarray(body.params["v_template"]))
+    meas = BodyMeasurements(anchors=anchors, num_hull_directions=64)
+
+    def builder(c, ckpt=""):
+        return build_body_head(cfg, body_model=body, measurements=meas)
+
+    monkeypatch.setattr(demo_mod, "build_demo_regressor", builder)
+    out_dir = tmp_path / "out"
+    rc = demo_mod.main(cfg, demo_output_folder=str(out_dir),
+                       save_vis=True, save_params=False, save_mesh=False,
+                       batch_size=1)
+    assert rc == 0
+
+    last = "stage_01"  # _demo_cfg uses num_stages=2
+    hd = cv2.imread(str(out_dir / "img_00_hd_imgs.png"))
+    assert hd is not None and hd.shape[:2] == (96, 72)
+    ov = cv2.imread(str(out_dir / f"img_00_hd_{last}_overlay.png"),
+                    cv2.IMREAD_UNCHANGED)
+    assert ov is not None and ov.shape == (96, 72, 4)  # RGBA
+    cat = cv2.imread(str(out_dir / f"img_00_hd_{last}_cat.png"))
+    assert cat is not None and cat.shape[:2] == (96, 144)
+    # the overlay actually drew a body: it differs from the raw image
+    assert np.abs(ov[..., :3].astype(int) - hd.astype(int)).max() > 20
