@@ -319,6 +319,13 @@ def main(
             f"Throughput: {cnt / total_time:.2f} images/sec "
             f"(batch size {batch_size})"
         )
+    else:
+        from shapy_tpu.utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            "No usable samples found (check data_folder/img_folder/"
+            "keyp_folder and keypoint confidences); nothing written."
+        )
     return 0
 
 
