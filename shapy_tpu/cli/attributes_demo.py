@@ -73,6 +73,9 @@ def run_a2s(cfg, demo_output_folder: str, smpl_model_path: str,
                 img = render_mesh_overlay(
                     np.ones((512, 512, 3), np.float32), verts, body.faces,
                     focal_length=500.0,
+                    # lit anti-aliased look (reference pyrender Renderer,
+                    # attributes/utils/renderer.py)
+                    shading_mode="phong", supersample=2,
                 )
                 cv2.imwrite(
                     os.path.join(demo_output_folder,
