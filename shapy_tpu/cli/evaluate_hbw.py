@@ -211,17 +211,20 @@ def check_submission_format(
     expected_v = {"smplx": 10475, "smpl": 6890}[model_type]
     try:
         data = np.load(input_npz_file)
-    except (OSError, ValueError) as exc:
+        ok = True
+        if "image_name" not in data or "v_shaped" not in data:
+            print("Missing required keys: image_name, v_shaped")
+            return False
+        # Member decompression is lazy: a truncated archive can pass
+        # np.load yet fail here (zipfile.BadZipFile / zlib.error), so
+        # the array reads stay inside the guard too.
+        names = data["image_name"]
+        v = data["v_shaped"]
+    except Exception as exc:
         # Corrupt/missing/non-npz submission: clean diagnostic + False
         # (nonzero exit from the CLI), never a traceback.
         print(f"Cannot read submission npz {input_npz_file}: {exc}")
         return False
-    ok = True
-    if "image_name" not in data or "v_shaped" not in data:
-        print("Missing required keys: image_name, v_shaped")
-        return False
-    names = data["image_name"]
-    v = data["v_shaped"]
     if v.ndim != 3 or v.shape[1] != expected_v or v.shape[2] != 3:
         print(f"v_shaped must be (N, {expected_v}, 3); got {v.shape}")
         ok = False

@@ -32,12 +32,20 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     # make is dependency-driven: a no-op when the .so is fresh, a rebuild
-    # when shapy_native.cpp is newer (new kernels added).
+    # when shapy_native.cpp is newer (new kernels added). An exclusive
+    # flock serializes concurrent first-users (e.g. the two-process
+    # multihost workers) so only one compiles; the Makefile itself links
+    # to a temp file and atomically renames, so even an unlocked builder
+    # can never truncate the .so under a process that has it mapped.
     try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            check=True, capture_output=True, timeout=120,
-        )
+        import fcntl
+
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
     except Exception:
         if not os.path.exists(_LIB_PATH):
             return None

@@ -39,13 +39,22 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        act = ((lambda v: v) if self.activation in ("none", "linear")
-               else getattr(nn, self.activation))
+        act = _activation_fn(self.activation)
         for h in self.hidden_dims:
             x = act(nn.Dense(h)(x))
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.output_dim)(x)
+
+
+def _activation_fn(name: str):
+    """Activation by normalised name ('relu'/'leaky_relu'/'elu'/...;
+    'none'/'linear' -> identity). torch and jax defaults agree
+    (LeakyReLU slope 0.01, ELU alpha 1.0), so imported checkpoints keep
+    eval-mode parity."""
+    if name in ("none", "linear"):
+        return lambda v: v
+    return getattr(nn, name)
 
 
 class ResBlock1D(nn.Module):
@@ -56,11 +65,13 @@ class ResBlock1D(nn.Module):
     so the flax module carries plain Dense layers."""
 
     width: int
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.relu(nn.Dense(self.width, name="linear1")(x))
-        h = nn.relu(nn.Dense(self.width, name="linear2")(h))
+        act = _activation_fn(self.activation)
+        h = act(nn.Dense(self.width, name="linear1")(x))
+        h = act(nn.Dense(self.width, name="linear2")(h))
         if x.shape[-1] != self.width:
             x = nn.Dense(self.width, name="downsample")(x)
         return x + h
@@ -69,18 +80,22 @@ class ResBlock1D(nn.Module):
 class ResNet1D(nn.Module):
     """Reference ResNet (models.py:224-262): optional FCNormActiv
     projection to ``layers[0]``, one BasicBlock per entry of ``layers``
-    (hidden size = the block's output size), and a final linear."""
+    (hidden size = the block's output size), and a final linear. The
+    activation cfg reaches the projection and every block, like the
+    reference's ``build_activation`` plumbing (models.py:23-46)."""
 
     output_dim: int
     layers: Sequence[int] = (256, 256)
     proj_layer: bool = True
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        act = _activation_fn(self.activation)
         if self.proj_layer:
-            x = nn.relu(nn.Dense(self.layers[0], name="projection")(x))
+            x = act(nn.Dense(self.layers[0], name="projection")(x))
         for i, width in enumerate(self.layers):
-            x = ResBlock1D(width, name=f"block_{i}")(x)
+            x = ResBlock1D(width, self.activation, name=f"block_{i}")(x)
         return nn.Dense(self.output_dim, name="final")(x)
 
 
@@ -385,7 +400,8 @@ def build_network(
             layers = (int(sub.get("width", 256)),) * int(
                 sub.get("depth", 3))
         module = ResNet1D(output_dim, tuple(int(v) for v in layers),
-                          bool(sub.get("proj_layer", True)))
+                          bool(sub.get("proj_layer", True)),
+                          activ_name(sub.get("activation", "relu")))
     elif net_type in ("moe", "mixture-of-experts"):
         # reference: moe_cfg['network'] is the recursive gate/expert cfg
         # (models.py:279-286); hidden_dims kept as a back-compat alias.

@@ -72,9 +72,11 @@ def _compose(rgb, alpha, bg, return_with_alpha):
     out = rgb * a + bg[:3] * (1.0 - a)
     if return_with_alpha:
         bga = bg[3:4] if bg.shape[0] >= 4 else np.ones_like(bg[:1])
-        return np.clip(
-            np.concatenate([out, np.maximum(a, bga * (1 - a))], axis=0),
-            0, 1)
+        # over-composite: a fractional-coverage silhouette pixel over an
+        # opaque background is opaque (a + bg_a*(1-a)), matching the
+        # reference's color*mask + (1-mask)*bg rule where bg alpha is 1
+        out_a = a + bga * (1.0 - a)
+        return np.clip(np.concatenate([out, out_a], axis=0), 0, 1)
     return np.clip(out, 0, 1)
 
 

@@ -55,6 +55,17 @@ def _stream_from(loader, start: int):
             yield next(it)
         except StopIteration:
             it = iter(loader)
+            # A loader that yields nothing even from a fresh epoch
+            # (dataset smaller than the batch with drop_last, or every
+            # sample skipped as corrupt) must surface as an error, not a
+            # silent busy loop re-creating empty iterators forever.
+            try:
+                yield next(it)
+            except StopIteration:
+                raise ValueError(
+                    "data loader produced no batches (empty dataset or "
+                    "batch size larger than the dataset with drop_last)"
+                ) from None
 
 
 def _to_device_batch(batch: Dict[str, Any], mesh=None) -> Dict:

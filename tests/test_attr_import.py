@@ -79,6 +79,24 @@ def test_import_resnet(rng):
     _check(ref, ours, rng, D)
 
 
+def test_import_resnet_leaky_relu(rng):
+    """A non-default activation must survive the import: the reference
+    plumbs the activation cfg into the projection and every BasicBlock
+    (models.py:23-46, 163-262); parameter names are activation-agnostic
+    so only a forward-parity check catches a dropped activation."""
+    m = rc.load_ref_attr_models()
+    D, OUT = 6, 4
+    torch.manual_seed(4)
+    cfg = {"type": "resnet",
+           "resnet": {"layers": [12, 8],
+                      "activation": {"type": "leaky-relu"},
+                      "normalization": BN}}
+    ref = m.build_network(cfg, D, OUT)
+    _bn_warmup(ref, rng, D)
+    ours = import_network(build_network(cfg, D, OUT), _sd(ref))
+    _check(ref, ours, rng, D)
+
+
 def test_import_moe(rng):
     m = rc.load_ref_attr_models()
     D, OUT = 5, 3

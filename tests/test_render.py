@@ -203,6 +203,17 @@ def test_gt_and_hd_renderers():
     diff = np.abs(outh[0] - 0.25).max(0)
     assert ((diff > 0.01) & (diff < 0.2)).sum() > 10
 
+    # Over an OPAQUE background the composited alpha is 1 everywhere —
+    # fractional-coverage silhouette pixels must not leave a translucent
+    # fringe (reference compositing has bg alpha 1, plot_utils.py:601-627)
+    outh_a = hd(v[None] - v.mean(0)[None, None], f,
+                focal_length=np.array([500.0]),
+                camera_translation=np.array([[0.0, 0.0, 8.0]]),
+                camera_center=np.array([[48.0, 40.0]]), bg_imgs=bg,
+                return_with_alpha=True)
+    assert outh_a.shape == (1, 4, 80, 96)
+    np.testing.assert_allclose(outh_a[0, 3], 1.0, atol=1e-6)
+
 
 def test_skeleton_drawing():
     """create_skel_img: left joints red / right blue, invalid edges

@@ -149,6 +149,17 @@ def test_hbw_checker_clean_failures(tmp_path, capsys):
     # missing file
     assert check_submission_format(str(tmp_path / "nope.npz")) is False
 
+    # truncated zip: starts with the PK magic so np.load reaches
+    # zipfile, which raises BadZipFile (not OSError/ValueError) — the
+    # checker must still print the diagnostic instead of tracebacking
+    whole = tmp_path / "whole.npz"
+    np.savez(whole, image_name=np.asarray(["a"]),
+             v_shaped=np.zeros((1, 10475, 3), np.float32))
+    cut = tmp_path / "truncated.npz"
+    cut.write_bytes(whole.read_bytes()[:200])
+    assert check_submission_format(str(cut)) is False
+    assert "Cannot read" in capsys.readouterr().out
+
     # missing keys
     p = tmp_path / "missing_keys.npz"
     np.savez(p, something=np.zeros(3))

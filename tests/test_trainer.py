@@ -292,6 +292,36 @@ def test_adversarial_trainer_stability(tmp_path, rng):
         np.asarray(trainer2.disc_state.params["linear1"]["weight"]), d1)
 
 
+def test_stream_from_empty_loader_raises():
+    """An empty loader (dataset smaller than the batch with drop_last,
+    or every sample skipped as corrupt) must raise, not busy-loop
+    re-creating empty iterators forever."""
+    import pytest
+
+    from shapy_tpu.train.trainer import _stream_from
+
+    class EmptyLoader:
+        def __len__(self):
+            return 0
+
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(ValueError, match="no batches"):
+        next(_stream_from(EmptyLoader(), 0))
+
+    class TwoBatchLoader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            return iter(("a", "b"))
+
+    # a non-empty loader still cycles epochs indefinitely
+    s = _stream_from(TwoBatchLoader(), 0)
+    assert [next(s) for _ in range(5)] == ["a", "b", "a", "b", "a"]
+
+
 def test_profiling_utils():
     from shapy_tpu.utils.profiling import annotate, device_memory_stats
 
