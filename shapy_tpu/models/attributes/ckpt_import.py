@@ -86,6 +86,11 @@ def _mlp_params(sd: Dict, prefix: str) -> Dict:
     i = 0
     while f"{prefix}layers.{i}.fc.weight" in sd:
         out[f"Dense_{i}"] = _fc_norm_activ(sd, f"{prefix}layers.{i}")
+        # learnable PReLU slope (the only parametric activation,
+        # models.py:37-39; key exists only for prelu checkpoints)
+        if f"{prefix}layers.{i}.activ.weight" in sd:
+            out[f"prelu_{i}"] = jnp.asarray(
+                _np(sd[f"{prefix}layers.{i}.activ.weight"]))
         i += 1
     out[f"Dense_{i}"] = _dense(sd, f"{prefix}output_layer")
     return out
@@ -95,6 +100,9 @@ def _resnet_params(sd: Dict, prefix: str) -> Dict:
     out = {}
     if f"{prefix}projection.fc.weight" in sd:
         out["projection"] = _fc_norm_activ(sd, f"{prefix}projection")
+        if f"{prefix}projection.activ.weight" in sd:
+            out["projection_prelu"] = jnp.asarray(
+                _np(sd[f"{prefix}projection.activ.weight"]))
     i = 0
     while f"{prefix}network.{i}.linear1.weight" in sd:
         blk = f"{prefix}network.{i}"
@@ -106,6 +114,9 @@ def _resnet_params(sd: Dict, prefix: str) -> Dict:
             block["downsample"] = _dense(
                 sd, f"{blk}.downsample.0", f"{blk}.downsample.1"
             )
+        if f"{blk}.act.weight" in sd:  # shared per-block PReLU slope
+            block["act_weight"] = jnp.asarray(
+                _np(sd[f"{blk}.act.weight"]))
         out[f"block_{i}"] = block
         i += 1
     # trailing plain Linear (models.py:255)

@@ -30,7 +30,9 @@ def activ_name(cfg) -> str:
 
 
 class MLP(nn.Module):
-    """Plain MLP with configurable activation and optional dropout."""
+    """Plain MLP with configurable activation and optional dropout.
+    'prelu' creates one learnable slope per layer, like the reference's
+    per-FCNormActiv ``nn.PReLU`` (models.py:37-39, 77-112)."""
 
     output_dim: int
     hidden_dims: Sequence[int] = (256, 256)
@@ -39,9 +41,16 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        act = _activation_fn(self.activation)
-        for h in self.hidden_dims:
-            x = act(nn.Dense(h)(x))
+        prelu = self.activation == "prelu"
+        act = None if prelu else _activation_fn(self.activation)
+        for i, h in enumerate(self.hidden_dims):
+            x = nn.Dense(h)(x)
+            if prelu:
+                a = self.param(f"prelu_{i}",
+                               nn.initializers.constant(0.25), (1,))
+                x = _prelu(x, a)
+            else:
+                x = act(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.output_dim)(x)
@@ -51,10 +60,22 @@ def _activation_fn(name: str):
     """Activation by normalised name ('relu'/'leaky_relu'/'elu'/...;
     'none'/'linear' -> identity). torch and jax defaults agree
     (LeakyReLU slope 0.01, ELU alpha 1.0), so imported checkpoints keep
-    eval-mode parity."""
+    eval-mode parity. 'prelu' is learnable and handled inside the
+    modules that own its slope parameter."""
     if name in ("none", "linear"):
         return lambda v: v
+    if name == "prelu":
+        raise ValueError(
+            "prelu needs a slope parameter; only MLP/ResNet1D (and the "
+            "MoE variants built on them) support it"
+        )
     return getattr(nn, name)
+
+
+def _prelu(x: Array, a: Array) -> Array:
+    """torch ``nn.PReLU`` semantics: slope broadcasts over the batch
+    ((1,) shared, or (C,) per-feature)."""
+    return jnp.where(x >= 0, x, a * x)
 
 
 class ResBlock1D(nn.Module):
@@ -69,7 +90,14 @@ class ResBlock1D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        act = _activation_fn(self.activation)
+        if self.activation == "prelu":
+            # the reference BasicBlock applies ONE shared nn.PReLU
+            # (self.act) after both linears (models.py:180,203-213)
+            aw = self.param("act_weight",
+                            nn.initializers.constant(0.25), (1,))
+            act = lambda v: _prelu(v, aw)  # noqa: E731
+        else:
+            act = _activation_fn(self.activation)
         h = act(nn.Dense(self.width, name="linear1")(x))
         h = act(nn.Dense(self.width, name="linear2")(h))
         if x.shape[-1] != self.width:
@@ -91,9 +119,14 @@ class ResNet1D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        act = _activation_fn(self.activation)
         if self.proj_layer:
-            x = act(nn.Dense(self.layers[0], name="projection")(x))
+            x = nn.Dense(self.layers[0], name="projection")(x)
+            if self.activation == "prelu":
+                a = self.param("projection_prelu",
+                               nn.initializers.constant(0.25), (1,))
+                x = _prelu(x, a)
+            else:
+                x = _activation_fn(self.activation)(x)
         for i, width in enumerate(self.layers):
             x = ResBlock1D(width, self.activation, name=f"block_{i}")(x)
         return nn.Dense(self.output_dim, name="final")(x)

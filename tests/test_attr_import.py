@@ -97,6 +97,29 @@ def test_import_resnet_leaky_relu(rng):
     _check(ref, ours, rng, D)
 
 
+@pytest.mark.parametrize("net_type", ["mlp", "resnet"])
+def test_import_prelu(rng, net_type):
+    """Learnable PReLU slopes (the one parametric activation,
+    models.py:37-39) must carry over: randomise every torch slope so
+    parity cannot hold with the 0.25 init or a relu fallback."""
+    m = rc.load_ref_attr_models()
+    D, OUT = 6, 4
+    torch.manual_seed(5)
+    cfg = {"type": net_type,
+           net_type: {"layers": [12, 8],
+                      "activation": {"type": "prelu"},
+                      "normalization": BN}}
+    ref = m.build_network(cfg, D, OUT)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if name.endswith(("act.weight", "activ.weight")):
+                p.copy_(torch.from_numpy(
+                    rng.uniform(-0.8, 0.8, p.shape).astype(np.float32)))
+    _bn_warmup(ref, rng, D)
+    ours = import_network(build_network(cfg, D, OUT), _sd(ref))
+    _check(ref, ours, rng, D)
+
+
 def test_import_moe(rng):
     m = rc.load_ref_attr_models()
     D, OUT = 5, 3
