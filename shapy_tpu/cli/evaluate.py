@@ -74,40 +74,9 @@ def main(exp_cfg: Dict, output_folder: str = "evaluation",
             gender = jax.device_put(gender, sh)
         return forward(regressor.params, imgs, gender)
 
-    def adapt(loader):
-        for batch in loader:
-            targets = {}
-            if "gt_v_shaped" in batch:
-                targets["gt_v_shaped"] = jnp.asarray(batch["gt_v_shaped"])
-            # Posed-GT metrics (3DPW v2v, SPIN/EHF mpjpe): the collate
-            # emits these under the model's keypoint order.
-            if "gt_vertices" in batch:
-                targets["gt_vertices"] = jnp.asarray(batch["gt_vertices"])
-            if "joints3d" in batch:
-                targets["gt_joints3d"] = jnp.asarray(batch["joints3d"])
-            if "joints14" in batch:
-                targets["gt_joints14"] = jnp.asarray(batch["joints14"])
-                if "joints14_valid" in batch:
-                    targets["joints14_valid"] = jnp.asarray(
-                        batch["joints14_valid"])
-            for key in ("height", "chest", "waist", "hips", "mass"):
-                gt_key = f"{key}_gt"
-                if gt_key in batch:
-                    targets[key] = jnp.asarray(batch[gt_key])
-            out = {
-                "images": batch["images"],
-                "targets": targets,
-                "model_batch": {"gender": batch["gender"]},
-                "genders": batch.get("genders"),
-            }
-            # BMI histogram groups from GT height/mass (reference
-            # evaluation.py:725-729 uses the targets' height/weight).
-            if "height_gt" in batch and "mass_gt" in batch:
-                from shapy_tpu.eval.evaluator import bmi_hist_group
-
-                out["bmi_hist_groups"] = bmi_hist_group(
-                    batch["height_gt"], batch["mass_gt"])
-            yield out
+    # Canonical collate->Evaluator field mapping, shared with the
+    # in-training eval hook so the two paths cannot drift.
+    from shapy_tpu.eval.loop import adapt_eval_batches as adapt
 
     evaluator = build_evaluator(
         exp_cfg, output_folder=output_folder,

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from shapy_tpu.eval.metrics import PointError, SparsePointRegressor
+from shapy_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
 
 Array = jax.Array
 
@@ -73,7 +76,11 @@ class MetricAccumulator:
 
     @property
     def mean(self) -> float:
-        return self.sum / max(self.count, 1)
+        # No valid samples is NaN, not 0.0 — an all-invalid metric must
+        # not read as a perfect score.
+        if self.count == 0:
+            return float("nan")
+        return self.sum / self.count
 
     def group_means(self) -> Dict[str, float]:
         return {
@@ -171,6 +178,12 @@ class Evaluator:
         self.v2v_t_alignments = v2v_t_alignments or {
             "translation": PointError("translation"),
         }
+        # One compiled graph per (target key-set, shapes): fuses every
+        # alignment/SVD/measurement diff into a single dispatch per batch
+        # instead of dozens of eager ops (retraces once per dataset).
+        self._metrics_jit = jax.jit(
+            self.compute_batch_metrics, static_argnames=("last_stage",)
+        )
 
     def __enter__(self):
         return self
@@ -452,8 +465,8 @@ class Evaluator:
                 images = batch["images"]
                 targets = batch.get("targets", {})
                 outputs = model_fn(images, batch.get("model_batch"))
-                metrics = self.compute_batch_metrics(
-                    outputs, targets, last_stage
+                metrics = self._metrics_jit(
+                    outputs, targets, last_stage=last_stage
                 )
                 if (first_batch and self.render_summaries
                         and self.summary_writer is not None):
@@ -483,7 +496,10 @@ class Evaluator:
                             n = len(BMI_HIST_NAMES)
                             hist_sums[name] = np.zeros(n)
                             hist_counts[name] = np.zeros(n, np.int64)
-                        valid = (hg >= 0) & (hg < len(BMI_HIST_NAMES))
+                        # NaN marks invalid samples (same contract as the
+                        # accumulator) — keep them out of the bucket sums
+                        valid = ((hg >= 0) & (hg < len(BMI_HIST_NAMES))
+                                 & np.isfinite(flat))
                         np.add.at(hist_sums[name], hg[valid], flat[valid])
                         np.add.at(hist_counts[name], hg[valid], 1)
 
@@ -498,7 +514,8 @@ class Evaluator:
                     self.summary_writer.add_scalar(
                         f"{ds_name}/{name}", val, step
                     )
-                self._write_bmi_histograms(hist_sums, hist_counts, step)
+                self._write_bmi_histograms(
+                    hist_sums, hist_counts, step, ds_name)
         return results
 
     def _write_bmi_histograms(
@@ -506,6 +523,7 @@ class Evaluator:
         hist_sums: Dict[str, np.ndarray],
         hist_counts: Dict[str, np.ndarray],
         step: int,
+        ds_name: str = "",
     ) -> None:
         """Per-metric BMI-group bar figures (evaluation.py:735-751:
         per-group mean * 1000, ylim [0, 300], tick labels
@@ -530,15 +548,19 @@ class Evaluator:
                 np.arange(len(BMI_HIST_NAMES)), means,
                 tick_label=list(BMI_HIST_NAMES),
             )
+            # dataset-name prefix like every scalar tag, so multi-dataset
+            # runs don't overwrite each other's figures
+            prefix = f"{ds_name}/" if ds_name else ""
             try:
                 self.summary_writer.add_figure(
-                    f"bmi histogram {name}", fig, step
+                    f"{prefix}bmi histogram {name}", fig, step
                 )
             except AttributeError:
                 # Writers without figure support get the raw buckets.
                 for gi, gname in enumerate(BMI_HIST_NAMES):
                     self.summary_writer.add_scalar(
-                        f"bmi_histogram/{name}/{gname}", means[gi], step
+                        f"{prefix}bmi_histogram/{name}/{gname}",
+                        means[gi], step
                     )
             plt.close("all")
 
@@ -574,6 +596,14 @@ def build_evaluator(exp_cfg: Optional[Dict] = None,
         if root_names and keypoint_names:
             kn = list(keypoint_names)
             root = [kn.index(n) for n in root_names if n in kn] or None
+            if root is None:
+                # A silent fall-through to joint-0 alignment would report
+                # mpjpe_root under a different protocol than configured.
+                logger.warning(
+                    "mpjpe root_joints %s match none of the model's "
+                    "keypoint names; falling back to joint 0 for the "
+                    "'root' alignment", root_names,
+                )
         align_names = list(mpjpe_cfg.get("alignments")
                            or ("root", "procrustes"))
         kwargs["alignments"] = point_errors(align_names, root=root)

@@ -21,8 +21,14 @@ logger = get_logger(__name__)
 
 
 def adapt_eval_batches(loader):
-    """Collate output -> the batch dicts Evaluator.run consumes (same
-    field mapping as cli/evaluate.py)."""
+    """Collate output -> the batch dicts Evaluator.run consumes.
+
+    THE canonical field mapping — ``cli/evaluate.py`` consumes this same
+    generator, so offline and in-training evaluation can never drift."""
+    import numpy as np
+
+    from shapy_tpu.eval.evaluator import bmi_bucket, bmi_hist_group
+
     for batch in loader:
         targets = {}
         for src, dst in (
@@ -37,12 +43,24 @@ def adapt_eval_batches(loader):
         for key in ("height", "chest", "waist", "hips", "mass"):
             if f"{key}_gt" in batch:
                 targets[key] = jnp.asarray(batch[f"{key}_gt"])
-        yield {
+        out = {
             "images": batch["images"],
             "targets": targets,
             "model_batch": {"gender": batch["gender"]},
             "genders": batch.get("genders"),
         }
+        # BMI breakdowns from GT height/mass (reference
+        # evaluation.py:722-752 uses the targets' height/weight):
+        # histogram groups for the per-metric bar figures, bucket names
+        # for the per-gender/BMI group means.
+        if "height_gt" in batch and "mass_gt" in batch:
+            h = np.asarray(batch["height_gt"], np.float64).reshape(-1)
+            m = np.asarray(batch["mass_gt"], np.float64).reshape(-1)
+            out["bmi_hist_groups"] = bmi_hist_group(h, m)
+            out["bmi_buckets"] = [
+                bmi_bucket(hh, mm) for hh, mm in zip(h, m)
+            ]
+        yield out
 
 
 def make_eval_fn(

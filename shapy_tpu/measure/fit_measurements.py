@@ -74,9 +74,11 @@ def fit_betas_to_measurements(
     losses = []
     for _ in range(num_steps):
         betas, opt_state, loss = step(betas, opt_state)
-        losses.append(float(loss))
+        # keep the device scalar: float() here would block on a
+        # device->host sync every step and serialise async dispatch
+        losses.append(loss)
     return {
         "betas": betas,
         "measurements": measure(betas),
-        "losses": np.asarray(losses),
+        "losses": np.asarray([float(x) for x in losses]),
     }

@@ -245,7 +245,8 @@ def test_evaluator_bmi_histograms(rng):
         "bmi_hist_groups": np.asarray([0, 0, 3, -1]),
     }]
     ev.run(model_fn, {"hbw": loader})
-    assert "bmi histogram v2v_t" in writer.figures
+    # tags carry the dataset prefix so multi-dataset runs don't clobber
+    assert "hbw/bmi histogram v2v_t" in writer.figures
 
     # recompute expected group means from the metric values directly
     m = ev.compute_batch_metrics(
@@ -253,11 +254,45 @@ def test_evaluator_bmi_histograms(rng):
         {"gt_v_shaped": jnp.asarray(gt_v)},
     )
     vals = np.asarray(m["v2v_t"])
-    fig = writer.figures["bmi histogram v2v_t"]
+    fig = writer.figures["hbw/bmi histogram v2v_t"]
     heights = [p.get_height() for p in fig.axes[0].patches]
     assert heights[0] == pytest.approx(vals[:2].mean() * 1000, rel=1e-5)
     assert heights[3] == pytest.approx(vals[2] * 1000, rel=1e-5)
     assert heights[1] == 0.0 and heights[5] == 0.0
+
+
+def test_evaluator_bmi_histograms_skip_nan(rng):
+    """NaN metric entries (invalid samples) must stay out of the bucket
+    sums AND counts — a NaN would otherwise poison the bucket mean."""
+    V = 50
+    verts = random_cloud(rng, B=3, P=V)
+    j14 = rng.uniform(size=(14, V)).astype(np.float32)
+    j14 /= j14.sum(1, keepdims=True)
+    gt14 = np.einsum("jv,bvn->bjn", j14, verts)
+    writer = _StubWriter()
+    ev = Evaluator(summary_writer=writer, render_summaries=False,
+                   j14_regressor=j14)
+
+    def model_fn(images, batch):
+        return {"stage_02": {"vertices": jnp.asarray(verts)}}
+
+    loader = [{
+        "images": jnp.zeros((3, 4, 4, 3)),
+        "targets": {
+            "gt_joints14": jnp.asarray(gt14),
+            # sample 1 invalid -> NaN metric; it shares bucket 0 with
+            # the valid sample 0
+            "joints14_valid": jnp.asarray([1.0, 0.0, 1.0]),
+        },
+        "bmi_hist_groups": np.asarray([0, 0, 2]),
+    }]
+    results = ev.run(model_fn, {"hbw": loader})
+    fig = writer.figures["hbw/bmi histogram mpjpe14_root"]
+    heights = [p.get_height() for p in fig.axes[0].patches]
+    assert np.isfinite(heights).all()
+    # perfect reconstruction -> bucket means ~0, not NaN
+    assert heights[0] == pytest.approx(0.0, abs=1e-2)
+    assert np.isfinite(results["hbw"]["mpjpe14_root"])
 
 
 def test_metric_accumulator_skips_nan():
@@ -267,6 +302,12 @@ def test_metric_accumulator_skips_nan():
     acc.update(np.asarray([1.0, np.nan, 3.0]), ["a", "a", "b"])
     assert acc.mean == pytest.approx(2.0)
     assert acc.group_means() == {"a": 1.0, "b": 3.0}
+
+    # all-invalid is NaN, not a perfect-looking 0.0
+    empty = MetricAccumulator()
+    empty.update(np.asarray([np.nan, np.nan]))
+    assert np.isnan(empty.mean)
+    assert empty.group_means() == {}
 
 
 def test_mpjpe14_respects_validity_mask(rng):
