@@ -218,11 +218,25 @@ class Trainer:
                 if merged is None:
                     merged = db
                 else:
-                    # Concatenate pose + shape streams along batch
-                    common = set(merged) & set(db)
+                    # Concatenate pose + shape streams along batch over
+                    # the key UNION: a stream missing a supervision key
+                    # contributes zeros for it, which is exactly the
+                    # collate's own missing-sample convention (zero
+                    # confidence / zero *_valid rows are ignored by the
+                    # losses). An intersection would silently drop each
+                    # stream's exclusive supervision.
+                    def _fill(d, k, other):
+                        if k in d:
+                            return d[k]
+                        ref = other[k]
+                        b = d["images"].shape[0]
+                        return jnp.zeros((b,) + ref.shape[1:], ref.dtype)
+
                     merged = {
-                        k: jnp.concatenate([merged[k], db[k]])
-                        for k in common
+                        k: jnp.concatenate(
+                            [_fill(merged, k, db), _fill(db, k, merged)]
+                        )
+                        for k in set(merged) | set(db)
                     }
             if merged is None:
                 raise ValueError("No batches produced by the loaders")
