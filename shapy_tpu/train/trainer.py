@@ -81,6 +81,42 @@ def _to_device_batch(batch: Dict[str, Any], mesh=None) -> Dict:
     return out
 
 
+def merge_stream_batches(batches) -> Dict[str, jnp.ndarray]:
+    """Concatenate the per-part (pose / shape) device batches along the
+    batch axis over the key UNION.
+
+    A stream missing a supervision key contributes zeros for it, which
+    is exactly the collate's own missing-sample convention (zero
+    confidence / zero ``*_valid`` rows are ignored by the losses). An
+    intersection would silently drop each stream's exclusive
+    supervision — e.g. the shape stream's ``gt_measurements`` or the
+    pose stream's ``gt_body_pose``. Every batch must carry ``images``
+    (the collate guarantees it), which provides the fill batch size.
+    """
+    merged: Optional[Dict] = None
+    for db in batches:
+        if merged is None:
+            merged = dict(db)
+            continue
+
+        def _fill(d, k, other):
+            if k in d:
+                return d[k]
+            ref = other[k]
+            b = d["images"].shape[0]
+            return jnp.zeros((b,) + ref.shape[1:], ref.dtype)
+
+        merged = {
+            k: jnp.concatenate(
+                [_fill(merged, k, db), _fill(db, k, merged)]
+            )
+            for k in set(merged) | set(db)
+        }
+    if merged is None:
+        raise ValueError("No batches produced by the loaders")
+    return merged
+
+
 class Trainer:
     def __init__(
         self,
@@ -211,35 +247,10 @@ class Trainer:
         # uninterrupted run (same batches, same dropout/GAN noise).
         streams = {k: _stream_from(v, step0) for k, v in loaders.items()}
         for step in range(step0, step0 + num_steps):
-            merged: Optional[Dict] = None
-            for part in loaders:
-                batch = next(streams[part])
-                db = _to_device_batch(batch, self.mesh)
-                if merged is None:
-                    merged = db
-                else:
-                    # Concatenate pose + shape streams along batch over
-                    # the key UNION: a stream missing a supervision key
-                    # contributes zeros for it, which is exactly the
-                    # collate's own missing-sample convention (zero
-                    # confidence / zero *_valid rows are ignored by the
-                    # losses). An intersection would silently drop each
-                    # stream's exclusive supervision.
-                    def _fill(d, k, other):
-                        if k in d:
-                            return d[k]
-                        ref = other[k]
-                        b = d["images"].shape[0]
-                        return jnp.zeros((b,) + ref.shape[1:], ref.dtype)
-
-                    merged = {
-                        k: jnp.concatenate(
-                            [_fill(merged, k, db), _fill(db, k, merged)]
-                        )
-                        for k in set(merged) | set(db)
-                    }
-            if merged is None:
-                raise ValueError("No batches produced by the loaders")
+            merged = merge_stream_batches(
+                _to_device_batch(next(streams[part]), self.mesh)
+                for part in loaders
+            )
 
             images = merged.pop("images")
             sub = jax.random.fold_in(rng, step)

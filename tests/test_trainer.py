@@ -322,6 +322,51 @@ def test_stream_from_empty_loader_raises():
     assert [next(s) for _ in range(5)] == ["a", "b", "a", "b", "a"]
 
 
+def test_merge_stream_batches_key_union():
+    """Pose + shape streams merge over the key UNION: a stream missing
+    a supervision key contributes zero rows for it (the collate's own
+    ignore convention), instead of the key being silently dropped."""
+    import jax.numpy as jnp
+
+    from shapy_tpu.train.trainer import merge_stream_batches
+
+    pose = {
+        "images": jnp.ones((2, 4, 4, 3)),
+        "keypoints2d": jnp.ones((2, 25, 3)),
+        "gt_body_pose": jnp.ones((2, 21, 3, 3)),
+    }
+    shape = {
+        "images": jnp.full((3, 4, 4, 3), 2.0),
+        "keypoints2d": jnp.full((3, 25, 3), 2.0),
+        "gt_measurements": jnp.full((3, 4), 2.0),
+    }
+    merged = merge_stream_batches([pose, shape])
+
+    assert set(merged) == {
+        "images", "keypoints2d", "gt_body_pose", "gt_measurements",
+    }
+    assert merged["images"].shape == (5, 4, 4, 3)
+    # shared key: plain concatenation, order preserved
+    np.testing.assert_array_equal(
+        np.asarray(merged["keypoints2d"][:2]), np.ones((2, 25, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(merged["keypoints2d"][2:]), np.full((3, 25, 3), 2.0))
+    # pose-exclusive key: zero-filled for the shape stream's rows
+    assert merged["gt_body_pose"].shape == (5, 21, 3, 3)
+    np.testing.assert_array_equal(
+        np.asarray(merged["gt_body_pose"][2:]), np.zeros((3, 21, 3, 3)))
+    # shape-exclusive key: zero-filled for the pose stream's rows
+    np.testing.assert_array_equal(
+        np.asarray(merged["gt_measurements"]),
+        np.concatenate([np.zeros((2, 4)), np.full((3, 4), 2.0)]))
+
+    # single stream passes through untouched; empty input raises
+    alone = merge_stream_batches([pose])
+    assert set(alone) == set(pose)
+    with pytest.raises(ValueError, match="No batches"):
+        merge_stream_batches([])
+
+
 def test_profiling_utils():
     from shapy_tpu.utils.profiling import annotate, device_memory_stats
 
